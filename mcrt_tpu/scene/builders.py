@@ -161,3 +161,127 @@ def cornell_box(light_intensity=(17.0, 12.0, 4.0)) -> tuple[Scene, PinholeCamera
         eye=(0.0, 1.0, 3.4), target=(0.0, 1.0, 0.0), fov_deg=40.0, aspect=1.0
     )
     return scene, camera
+
+
+# ---------------------------------------------------------------------------
+# OBJ-based scenes
+# ---------------------------------------------------------------------------
+
+def scene_from_obj(path: str, extra_lights: list[dict] | None = None,
+                   transform=None, camera_kw: dict | None = None):
+    """Load an OBJ into a Scene — the ``loadScene``/``attachMesh`` path
+    (``PathTracingApp.cpp:330-345`` + ``RTScene.cpp:564-678``).
+
+    Per-material shapes (one shape per OBJ material); materials with nonzero
+    Ke become triangle-mesh area lights with radiance Ke.
+    """
+    from .objloader import load_obj
+    from .scene import LIGHT_MESH
+
+    mesh = load_obj(path)
+    if transform is not None:
+        mesh.positions = mesh.positions @ np.asarray(transform, np.float32)[:3, :3].T \
+            + np.asarray(transform, np.float32)[:3, 3]
+
+    sb = SceneBuffers()
+    materials = [m.to_uber() for m in mesh.materials]
+    host_lights: list[dict] = []
+    # one shape per material group (the reference's submesh concatenation)
+    for mid in range(len(mesh.materials)):
+        sel = mesh.face_material == mid
+        if not sel.any():
+            continue
+        tri = mesh.indices[sel]
+        used, inv = np.unique(tri.reshape(-1), return_inverse=True)
+        light_id = -1
+        ke = np.asarray(mesh.materials[mid].ke, np.float32)
+        if ke.sum() > 0:
+            light_id = len(host_lights)
+        sid = sb.add_mesh(
+            mesh.positions[used], inv.reshape(-1, 3).astype(np.int32),
+            mid, normals=mesh.normals[used], uvs=mesh.uvs[used],
+            light_id=light_id,
+        )
+        if light_id >= 0:
+            host_lights.append({"type": LIGHT_MESH, "intensity": ke, "shape": sid})
+
+    if extra_lights:
+        host_lights.extend(extra_lights)
+
+    positions, normals, uvs, indices, face_shape, shape_mat, shape_light = sb.concat()
+    lights = make_lights(host_lights, positions, indices, face_shape)
+    scene = build_scene(
+        positions, normals, uvs, indices, face_shape, shape_mat, materials,
+        lights=lights, shape_light=shape_light,
+    )
+    lo = positions.min(0); hi = positions.max(0)
+    center = (lo + hi) / 2
+    size = float(np.linalg.norm(hi - lo))
+    kw = dict(eye=center + np.asarray([0.0, 0.25 * size, 0.9 * size]),
+              target=center, fov_deg=45.0, aspect=1.0)
+    if camera_kw:
+        kw.update(camera_kw)
+    camera = PinholeCamera.look_at(**kw)
+    return scene, camera
+
+
+def bunny_field(grid: int = 7, bunny_path: str | None = None):
+    """Sponza-scale procedural bench scene: a grid of Stanford bunnies on a
+    floor (~250k triangles at grid=7), one disk light + one directional light
+    (stands in for BASELINE config 3 until a Sponza OBJ is available)."""
+    from .objloader import load_obj
+    from .scene import LIGHT_DIRECTIONAL, LIGHT_DISK
+
+    if bunny_path is None:
+        bunny_path = "/root/reference/assets/meshes/bunny.obj"
+    mesh = load_obj(bunny_path)
+    pos = mesh.positions
+    lo, hi = pos.min(0), pos.max(0)
+    scale = 1.0 / max(hi - lo)
+    pos = (pos - (lo + hi) / 2) * scale  # unit-box normalize
+    pos[:, 1] -= pos[:, 1].min()
+
+    sb = SceneBuffers()
+    rng = np.random.default_rng(0)
+    mats = []
+    for gx in range(grid):
+        for gz in range(grid):
+            mid = len(mats)
+            mats.append(UberMaterial(
+                diffuse=tuple(rng.uniform(0.2, 0.8, 3)),
+                glossy=(0.3, 0.3, 0.3),
+                roughness=float(rng.uniform(0.05, 0.5)),
+            ))
+            offset = np.asarray(
+                [(gx - (grid - 1) / 2) * 1.5, 0.0, (gz - (grid - 1) / 2) * 1.5],
+                np.float32,
+            )
+            sb.add_mesh(pos + offset, mesh.indices, mid,
+                        normals=mesh.normals, uvs=mesh.uvs)
+    floor_m = len(mats)
+    mats.append(UberMaterial(diffuse=(0.6, 0.6, 0.6), glossy=(0.2, 0.2, 0.2),
+                             roughness=0.3))
+    ext = grid * 1.0
+    fp, fi = quad([-ext, 0, ext], [ext, 0, ext], [ext, 0, -ext], [-ext, 0, -ext])
+    sb.add_mesh(fp, fi, floor_m)
+
+    positions, normals, uvs, indices, face_shape, shape_mat, shape_light = sb.concat()
+    lights = make_lights(
+        [
+            {"type": LIGHT_DISK, "position": (0.0, ext, 0.0),
+             "direction": (0.0, -1.0, 0.0), "intensity": (20.0, 18.0, 15.0),
+             "radius": ext * 0.3},
+            {"type": LIGHT_DIRECTIONAL, "direction": (-0.4, -1.0, -0.3),
+             "intensity": (2.0, 2.0, 1.8)},
+        ],
+        positions, indices, face_shape,
+    )
+    scene = build_scene(
+        positions, normals, uvs, indices, face_shape, shape_mat, mats,
+        lights=lights, shape_light=shape_light,
+    )
+    camera = PinholeCamera.look_at(
+        eye=(0.0, ext * 0.7, ext * 1.2), target=(0.0, 0.3, 0.0), fov_deg=50.0,
+        aspect=1.0,
+    )
+    return scene, camera
