@@ -49,7 +49,12 @@ class LBVH(struct.PyTreeNode):
     - ``children`` (2, L-1) i32: left/right child node ids;
     - ``leaf_t`` (9*leaf_size, L): each leaf's triangles as precomputed
       Möller-Trumbore (p0, e1, e2) components — the same precomputed-edge
-      trick the reference's traversal kernels use per leaf."""
+      trick the reference's traversal kernels use per leaf;
+    - ``unified_t`` ((24, 2L-1), with ``unified_ci`` (2, 2L-1) i32): one
+      table holding internal rows AND leaf rows (leaf_size=2: 18 floats) so
+      the hot loop issues exactly ONE gather per node visit — gather traffic
+      is the measured bottleneck of TPU traversal.  Populated only when
+      leaf_size == 2."""
 
     node_min: jax.Array  # (2L-1, 3)
     node_max: jax.Array  # (2L-1, 3)
@@ -60,6 +65,8 @@ class LBVH(struct.PyTreeNode):
     packed_t: jax.Array  # (12, L-1) transposed slab components
     children: jax.Array  # (2, L-1) i32
     leaf_t: jax.Array  # (9*leaf_size, L) transposed leaf triangle components
+    unified_t: jax.Array | None  # (24, 2L-1) f32 unified node/leaf rows
+    unified_ci: jax.Array | None  # (2, 2L-1) i32 children (leaf rows: -1)
     leaf_size: int = struct.field(pytree_node=False, default=4)
 
     @property
@@ -183,7 +190,7 @@ def _radix_tree(codes: jax.Array):
 
 
 def build_lbvh(geom: Geometry, cfg: BVHConfig | None = None,
-               leaf_size: int = 4) -> LBVH:
+               leaf_size: int = 2) -> LBVH:
     """Full device-side build — the ``IntersectionApi::Commit`` analogue for
     the LBVH path (``hlbvh.cpp:65-201`` role).
 
@@ -271,6 +278,22 @@ def build_lbvh(geom: Geometry, cfg: BVHConfig | None = None,
     )
     leaf_t = leaf_rows.T
 
+    # unified single-gather table (leaf_size == 2 only): node i ->
+    # internal rows [0, L-1) hold 12 slab floats; leaf rows hold 18 tri floats
+    unified_t = None
+    unified_ci = None
+    if leaf_size == 2:
+        internal_rows = jnp.concatenate(
+            [packed_t, jnp.zeros((12, num_leaves - 1), jnp.float32)], axis=0
+        )  # (24, L-1)
+        leaf_rows24 = jnp.concatenate(
+            [leaf_t, jnp.zeros((6, num_leaves), jnp.float32)], axis=0
+        )  # (24, L)
+        unified_t = jnp.concatenate([internal_rows, leaf_rows24], axis=1)
+        unified_ci = jnp.concatenate(
+            [children, jnp.full((2, num_leaves), -1, jnp.int32)], axis=1
+        )
+
     return LBVH(
         node_min=node_min,
         node_max=node_max,
@@ -281,5 +304,7 @@ def build_lbvh(geom: Geometry, cfg: BVHConfig | None = None,
         packed_t=packed_t,
         children=children,
         leaf_t=leaf_t,
+        unified_t=unified_t,
+        unified_ci=unified_ci,
         leaf_size=leaf_size,
     )

@@ -181,6 +181,128 @@ def _traverse(bvh: LBVH, rays: Rays, stack_depth: int, any_hit: bool,
     return out[3], out[4], out[5], out[6], out[7]
 
 
+def _traverse_unified(bvh: LBVH, rays: Rays, stack_depth: int, any_hit: bool):
+    """Single-gather lockstep loop over the unified 24-row table
+    (leaf_size == 2).  Per iteration: ONE (24, N) gather + ONE (2, N) child
+    gather; internal lanes slab-test both children, leaf lanes run two
+    precomputed-edge MT tests — selected by mask, no divergence."""
+    n_rays = rays.o.shape[0]
+    n_leaves = bvh.num_leaves
+    internal_count = n_leaves - 1
+    num_nodes = 2 * n_leaves - 1
+
+    ox, oy, oz = rays.o[:, 0], rays.o[:, 1], rays.o[:, 2]
+    dx, dy, dz = rays.d[:, 0], rays.d[:, 1], rays.d[:, 2]
+    sd = lambda c: jnp.where(jnp.abs(c) > 1e-12, c, 1e-12)
+    ix, iy, iz = 1.0 / sd(dx), 1.0 / sd(dy), 1.0 / sd(dz)
+    tmin = rays.tmin
+    srange = jnp.arange(stack_depth, dtype=jnp.int32)[:, None]
+
+    def slab(c0x, c0y, c0z, c1x, c1y, c1z, best_t):
+        tx0, tx1 = (c0x - ox) * ix, (c1x - ox) * ix
+        ty0, ty1 = (c0y - oy) * iy, (c1y - oy) * iy
+        tz0, tz1 = (c0z - oz) * iz, (c1z - oz) * iz
+        tn = jnp.maximum(
+            jnp.maximum(jnp.minimum(tx0, tx1), jnp.minimum(ty0, ty1)),
+            jnp.maximum(jnp.minimum(tz0, tz1), tmin),
+        )
+        tf = jnp.minimum(
+            jnp.minimum(jnp.maximum(tx0, tx1), jnp.maximum(ty0, ty1)),
+            jnp.minimum(jnp.maximum(tz0, tz1), best_t),
+        )
+        return tn <= tf, tn
+
+    def mt(row, b, leaf_on, best_t):
+        p0x, p0y, p0z = row[b], row[b + 1], row[b + 2]
+        e1x, e1y, e1z = row[b + 3], row[b + 4], row[b + 5]
+        e2x, e2y, e2z = row[b + 6], row[b + 7], row[b + 8]
+        pvx = dy * e2z - dz * e2y
+        pvy = dz * e2x - dx * e2z
+        pvz = dx * e2y - dy * e2x
+        det = e1x * pvx + e1y * pvy + e1z * pvz
+        ok = jnp.abs(det) > 1e-9
+        inv = jnp.where(ok, 1.0 / jnp.where(ok, det, 1.0), 0.0)
+        tvx, tvy, tvz = ox - p0x, oy - p0y, oz - p0z
+        u = (tvx * pvx + tvy * pvy + tvz * pvz) * inv
+        qvx = tvy * e1z - tvz * e1y
+        qvy = tvz * e1x - tvx * e1z
+        qvz = tvx * e1y - tvy * e1x
+        v = (dx * qvx + dy * qvy + dz * qvz) * inv
+        t = (e2x * qvx + e2y * qvy + e2z * qvz) * inv
+        hit = (
+            leaf_on & ok & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
+            & (t > tmin) & (t < best_t)
+        )
+        return t, u, v, hit
+
+    def body(state):
+        cur, stack, sp, best_t, best_slot, best_u, best_v, blocked = state
+        lane_on = cur >= 0
+        is_leaf = cur >= internal_count
+        node = jnp.clip(cur, 0, num_nodes - 1)
+        row = jnp.take(bvh.unified_t, node, axis=1)  # (24, N)
+        ch = jnp.take(bvh.unified_ci, node, axis=1)  # (2, N)
+        lc, rc = ch[0], ch[1]
+
+        hit_l, tn_l = slab(row[0], row[1], row[2], row[3], row[4], row[5], best_t)
+        hit_r, tn_r = slab(row[6], row[7], row[8], row[9], row[10], row[11], best_t)
+
+        leaf_on = lane_on & is_leaf
+        leaf_idx = jnp.clip(cur - internal_count, 0, n_leaves - 1)
+        for slot in range(2):
+            t, u, v, hit = mt(row, slot * 9, leaf_on, best_t)
+            best_slot = jnp.where(hit, leaf_idx * 2 + slot, best_slot)
+            best_u = jnp.where(hit, u, best_u)
+            best_v = jnp.where(hit, v, best_v)
+            best_t = jnp.where(hit, t, best_t)
+            if any_hit:
+                blocked = blocked | hit
+
+        proc_int = lane_on & ~is_leaf
+        both = proc_int & hit_l & hit_r
+        near_is_l = tn_l <= tn_r
+        near = jnp.where(near_is_l, lc, rc)
+        far = jnp.where(near_is_l, rc, lc)
+        only_l = proc_int & hit_l & ~hit_r
+        only_r = proc_int & hit_r & ~hit_l
+
+        can_push = both & (sp < stack_depth)
+        stack = jnp.where(
+            (srange == sp[None, :]) & can_push[None, :], far[None, :], stack
+        )
+        sp = jnp.where(can_push, sp + 1, sp)
+        goto = jnp.where(
+            both, near, jnp.where(only_l, lc, jnp.where(only_r, rc, DONE))
+        )
+        need_pop = lane_on & (goto == DONE)
+        if any_hit:
+            need_pop = need_pop | (lane_on & blocked)
+        can_pop = need_pop & (sp > 0)
+        sp = jnp.where(can_pop, sp - 1, sp)
+        popped = jnp.sum(jnp.where(srange == sp[None, :], stack, 0), axis=0)
+        cur = jnp.where(
+            lane_on,
+            jnp.where(need_pop, jnp.where(can_pop, popped, DONE), goto),
+            DONE,
+        )
+        if any_hit:
+            cur = jnp.where(blocked, DONE, cur)
+        return cur, stack, sp, best_t, best_slot, best_u, best_v, blocked
+
+    state0 = (
+        jnp.where(rays.active, 0, DONE),
+        jnp.zeros((stack_depth, n_rays), jnp.int32),
+        jnp.zeros((n_rays,), jnp.int32),
+        jnp.minimum(rays.tmax, F32_MAX),
+        jnp.full((n_rays,), -1, jnp.int32),
+        jnp.zeros((n_rays,), jnp.float32),
+        jnp.zeros((n_rays,), jnp.float32),
+        jnp.zeros((n_rays,), bool),
+    )
+    out = jax.lax.while_loop(lambda s: jnp.any(s[0] >= 0), body, state0)
+    return out[3], out[4], out[5], out[6], out[7]
+
+
 def traversal_iterations(bvh: LBVH, rays: Rays, stack_depth: int = 64):
     """Diagnostic: (lockstep iteration count, per-ray node-visit counts)."""
     n_rays = rays.o.shape[0]
@@ -258,9 +380,13 @@ def _coherence_order(rays: Rays) -> jax.Array:
 
 def _run_chunked(bvh: LBVH, rays: Rays, stack_depth: int, any_hit: bool,
                  chunk: int):
+    core = (
+        _traverse_unified if bvh.unified_t is not None
+        else lambda b, r, s, a: _traverse(b, r, s, a)
+    )
     n = rays.n
     if chunk <= 0 or n <= chunk:
-        return _traverse(bvh, rays, stack_depth, any_hit)
+        return core(bvh, rays, stack_depth, any_hit)
     pad = (-n) % chunk
     order = _coherence_order(rays)
 
@@ -279,7 +405,7 @@ def _run_chunked(bvh: LBVH, rays: Rays, stack_depth: int, any_hit: bool,
         lambda a: a.reshape((num_chunks, chunk) + a.shape[1:]), r
     )
     outs = jax.lax.map(
-        lambda rc: _traverse(bvh, rc, stack_depth, any_hit), chunked
+        lambda rc: core(bvh, rc, stack_depth, any_hit), chunked
     )
     flat = jax.tree.map(lambda a: a.reshape((num_chunks * chunk,) + a.shape[2:]), outs)
     # result[i] lives at sorted position pos[i]

@@ -125,11 +125,20 @@ def pdf(bsdf: UberBSDF, wo: jax.Array, wi: jax.Array) -> jax.Array:
     return p / num
 
 
-def sample(bsdf: UberBSDF, wo: jax.Array, u3: jax.Array) -> BSDFSample:
+def sample(bsdf: UberBSDF, wo: jax.Array, u3: jax.Array,
+           detach: bool = True) -> BSDFSample:
     """Sample the lobe mixture (``sampleUberBSDF``, bxdfs.cl:892-1053).
 
     u3: (N, 3) uniforms — u3[...,0] picks the lobe (and is remapped), the
     rest drive the per-lobe direction sample.
+
+    detach=True applies the *detached* differentiable-sampling estimator
+    (Zeltner et al. 2021 style): the sampled direction and the non-delta
+    mixture pdf are wrapped in stop_gradient so that only the smooth BSDF
+    value f carries parameter gradients — the unbiased choice when
+    differentiating w.r.t. material parameters through BSDF importance
+    sampling (SURVEY §7 phase 7).  Delta-lobe weights (Fresnel, kr/kt) stay
+    attached; gradients through *refraction directions* (eta) are dropped.
     """
     msk = bsdf.lobe_masks()
     num_i = bsdf.num_lobes()
@@ -176,6 +185,8 @@ def sample(bsdf: UberBSDF, wo: jax.Array, u3: jax.Array) -> BSDFSample:
             ),
         ),
     )
+    if detach:
+        wi = jax.lax.stop_gradient(wi)
 
     is_spec = (lobe == LOBE_SPEC_REFL) | (lobe == LOBE_SPEC_TRANS) | (lobe == LOBE_PASSTHROUGH)
     abs_ci = jnp.maximum(bx.abs_cos_theta(wi), 1e-8)
@@ -190,9 +201,12 @@ def sample(bsdf: UberBSDF, wo: jax.Array, u3: jax.Array) -> BSDFSample:
     f_spect = jnp.where(tir[..., None], 0.0, f_spect)
     f_pass = bsdf.passthrough / abs_ci[..., None]
 
-    # non-delta mixture f and pdf at the sampled wi
+    # non-delta mixture f and pdf at the sampled wi; detached estimator
+    # stops gradients through the pdf (f stays attached)
     f_nd = evaluate(bsdf, wo, wi)
     pdf_nd = pdf(bsdf, wo, wi)
+    if detach:
+        pdf_nd = jax.lax.stop_gradient(pdf_nd)
 
     f = jnp.where(
         (lobe == LOBE_SPEC_REFL)[..., None], f_specr,

@@ -88,7 +88,7 @@ class BVHConfig:
     # SAH builder knobs (host builder, quality option)
     sah_bins: int = 16
     traversal_cost: float = 1.0
-    max_leaf_size: int = 4
+    max_leaf_size: int = 2  # 2 activates the unified single-gather traversal table
     # traversal
     stack_depth: int = 64
 

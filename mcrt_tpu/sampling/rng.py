@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from flax import struct
 
 from ..config import SamplerConfig, SamplerType
@@ -31,6 +32,7 @@ class SampleStream(struct.PyTreeNode):
     dim: jax.Array  # () i32 next dimension
     pixel: jax.Array  # (N,) i32 global pixel ids
     index: jax.Array  # () i32 sample index (frame)
+    scramble: jax.Array  # () u32 frame-INDEPENDENT scramble seed (sobol)
     kind: int = struct.field(pytree_node=False, default=0)  # 0=random, 1=sobol
     sobol_mats: jax.Array | None = None  # (D, 32) u32 direction matrices
 
@@ -48,6 +50,9 @@ def make_stream(cfg: SamplerConfig, frame: jax.Array, pixel_ids: jax.Array,
         dim=jnp.asarray(0, jnp.int32),
         pixel=pixel_ids.astype(jnp.int32),
         index=jnp.asarray(frame, jnp.int32),
+        # sobol digit-scramble seed: depends on cfg.seed only — it must stay
+        # fixed across frames so each pixel walks ONE scrambled sequence
+        scramble=jnp.asarray(np.uint32(cfg.seed * 2654435761 % (1 << 32))),
         kind=kind,
         sobol_mats=sobol_mats,
     )
@@ -75,9 +80,9 @@ def _sobol_bits(stream: SampleStream, n_dims: int) -> jax.Array:
     from .sobol import sobol_sample_scrambled
 
     dims = stream.dim + jnp.arange(n_dims, dtype=jnp.int32)
-    # per-pixel Owen-style hash scramble seeded by pixel id and dimension
+    # per-(pixel, dim) digit scramble seeded frame-independently
     return sobol_sample_scrambled(
-        stream.sobol_mats, stream.index, dims, stream.pixel, stream.key
+        stream.sobol_mats, stream.index, dims, stream.pixel, stream.scramble
     )
 
 

@@ -176,27 +176,27 @@ class TextureAtlas(struct.PyTreeNode):
     descriptors store base offset + base w/h + mip count; wrap mode per texture.
     """
 
-    data: jax.Array  # (BYTES//4, 4) u8 RGBA texels, flattened over all textures+mips
-    offset: jax.Array  # (T,) i32 texel offset of mip 0
-    width: jax.Array  # (T,) i32 mip-0 width
-    height: jax.Array  # (T,) i32 mip-0 height
+    data: jax.Array  # (4, TEXELS) u8 RGBA texels, transposed (lane-gatherable)
+    offset: jax.Array  # (MAX_MIPS, T) i32 texel offset per [level, texture]
+    width: jax.Array  # (MAX_MIPS, T) i32 width per [level, texture]
+    height: jax.Array  # (MAX_MIPS, T) i32
     mips: jax.Array  # (T,) i32 number of mip levels
     wrap: jax.Array  # (T,) i32 wrap mode (0=repeat,1=clamp,2=mirror,3=border)
 
     @classmethod
     def empty(cls):
         return cls(
-            data=jnp.zeros((1, 4), jnp.uint8),
-            offset=jnp.zeros((0,), jnp.int32),
-            width=jnp.zeros((0,), jnp.int32),
-            height=jnp.zeros((0,), jnp.int32),
+            data=jnp.zeros((4, 1), jnp.uint8),
+            offset=jnp.zeros((1, 0), jnp.int32),
+            width=jnp.zeros((1, 0), jnp.int32),
+            height=jnp.zeros((1, 0), jnp.int32),
             mips=jnp.zeros((0,), jnp.int32),
             wrap=jnp.zeros((0,), jnp.int32),
         )
 
     @property
     def num(self) -> int:
-        return self.offset.shape[0]
+        return self.offset.shape[1]
 
 
 class Scene(struct.PyTreeNode):
