@@ -79,7 +79,7 @@ def _count_rays_traced(scene, camera, cfg, intersector):
 
 
 def main():
-    scene_name = os.environ.get("BENCH_SCENE", "cornell")
+    scene_name = os.environ.get("BENCH_SCENE", "bunny_field")
     width = int(os.environ.get("BENCH_WIDTH", "512"))
     height = int(os.environ.get("BENCH_HEIGHT", "512"))
     depth = int(os.environ.get("BENCH_DEPTH", "8"))
@@ -91,14 +91,9 @@ def main():
     from mcrt_tpu.parallel.render import render_spp_batch
     from mcrt_tpu.scene.builders import cornell_box
 
-    # best available accel
-    accel = AccelType.BRUTE
-    try:
-        from mcrt_tpu.accel import lbvh  # noqa: F401
-
-        accel = AccelType.LBVH
-    except ImportError:
-        pass
+    # AUTO resolves to the Pallas blocked kernel on TPU (the measured-fastest
+    # strategy at every scene size), XLA paths on CPU
+    accel = AccelType(os.environ.get("BENCH_ACCEL", "auto"))
 
     if scene_name == "bunny_field":
         from mcrt_tpu.scene.builders import bunny_field

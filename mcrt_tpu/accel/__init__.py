@@ -29,25 +29,47 @@ class Intersector(NamedTuple):
 def build_intersector(scene: Scene, cfg: RenderConfig) -> Intersector:
     """Build the accel for `scene` and bind query closures — the analogue of
     ``IntersectionApi::Commit`` (``radeon_rays.h:231-241``)."""
-    if cfg.accel == AccelType.BRUTE:
+    accel_type = cfg.accel
+    if accel_type == AccelType.AUTO:
+        # strategy selection (the reference picks intersectors from scene
+        # shape at Preprocess, calc_intersection_device.cpp:73-150).  On
+        # TPU the Pallas blocked kernel streams its triangle table, so it
+        # has no size ceiling, and measures ~50x faster than the JAX LBVH
+        # gather traversal at 244k tris on v5e — it is the default.  Off
+        # TPU (CPU tests) Pallas would run interpreted, so pick the XLA
+        # paths: brute for tiny scenes, LBVH beyond.
+        try:
+            on_tpu = jax.devices()[0].platform == "tpu"
+        except RuntimeError:
+            on_tpu = False
+        if on_tpu:
+            accel_type = AccelType.BLOCKED
+        elif scene.geometry.num_faces <= 4096:
+            accel_type = AccelType.BRUTE
+        else:
+            accel_type = AccelType.LBVH
+    if accel_type == AccelType.BRUTE:
         return Intersector(
             intersect=lambda s, r: intersect_brute(s.geometry, r),
             occluded=lambda s, r: occluded_brute(s.geometry, r),
             accel=None,
         )
-    if cfg.accel in (AccelType.LBVH, AccelType.LBVH_PALLAS):
+    if accel_type == AccelType.BLOCKED:
+        from .pallas_blocked import (
+            build_blocked, intersect_blocked, occluded_blocked,
+        )
+
+        acc = build_blocked(scene.geometry)
+        return Intersector(
+            intersect=lambda s, r: intersect_blocked(s.geometry, acc, r),
+            occluded=lambda s, r: occluded_blocked(s.geometry, acc, r),
+            accel=acc,
+        )
+    if accel_type == AccelType.LBVH:
         from .lbvh import build_lbvh
         from .traverse import intersect_bvh, occluded_bvh
 
         bvh = build_lbvh(scene.geometry, cfg.bvh)
-        if cfg.accel == AccelType.LBVH_PALLAS:
-            from .pallas_traverse import intersect_bvh_pallas, occluded_bvh_pallas
-
-            return Intersector(
-                intersect=lambda s, r: intersect_bvh_pallas(s.geometry, bvh, r),
-                occluded=lambda s, r: occluded_bvh_pallas(s.geometry, bvh, r),
-                accel=bvh,
-            )
         return Intersector(
             intersect=lambda s, r: intersect_bvh(s.geometry, bvh, r, cfg.bvh),
             occluded=lambda s, r: occluded_bvh(s.geometry, bvh, r, cfg.bvh),

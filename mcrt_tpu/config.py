@@ -48,7 +48,8 @@ class AccelType(str, enum.Enum):
 
     BRUTE = "brute"  # O(N) all-triangles oracle (conformance reference)
     LBVH = "lbvh"  # device-built Morton LBVH, JAX traversal
-    LBVH_PALLAS = "lbvh_pallas"  # LBVH with Pallas traversal kernel
+    BLOCKED = "blocked"  # Pallas blocked-dense kernel (TPU-native default)
+    AUTO = "auto"  # pick per scene size (Commit-time strategy selection)
 
 
 class BuilderType(str, enum.Enum):
@@ -142,7 +143,7 @@ class RenderConfig:
     integrator: IntegratorConfig = field(default_factory=IntegratorConfig)
     sampler: SamplerConfig = field(default_factory=SamplerConfig)
     filter: FilterConfig = field(default_factory=FilterConfig)
-    accel: AccelType = AccelType.LBVH
+    accel: AccelType = AccelType.AUTO
     bvh: BVHConfig = field(default_factory=BVHConfig)
     denoise: DenoiseConfig = field(default_factory=DenoiseConfig)
     tonemap: ToneMapConfig = field(default_factory=ToneMapConfig)

@@ -16,6 +16,7 @@ import jax
 import jax.numpy as jnp
 
 from .accel import Intersector, build_intersector
+import numpy as _np
 from .camera.pinhole import PinholeCamera, pixel_uv
 from .config import IntegratorType, RenderConfig
 from .film.accumulate import Accumulator, accumulate
@@ -50,6 +51,29 @@ def frame_jitter(frame: jax.Array) -> jax.Array:
     )
 
 
+@functools.lru_cache(maxsize=8)
+def _morton_pixel_order(w: int, h: int):
+    """2D Morton pixel permutation (and its inverse): rays are traced in
+    Z-order so each intersector tile covers a compact screen square — the
+    warp-coherence mitigation from SURVEY §7 'hard parts' (1).  Static per
+    resolution; applied as two constant gathers per sample."""
+    xs = _np.arange(w * h, dtype=_np.uint64) % w
+    ys = _np.arange(w * h, dtype=_np.uint64) // w
+
+    def expand(x):
+        x = (x | (x << _np.uint64(8))) & _np.uint64(0x00FF00FF)
+        x = (x | (x << _np.uint64(4))) & _np.uint64(0x0F0F0F0F)
+        x = (x | (x << _np.uint64(2))) & _np.uint64(0x33333333)
+        x = (x | (x << _np.uint64(1))) & _np.uint64(0x55555555)
+        return x
+
+    code = (expand(xs) << _np.uint64(1)) | expand(ys)
+    order = _np.argsort(code, kind="stable").astype(_np.int32)
+    inv = _np.empty_like(order)
+    inv[order] = _np.arange(w * h, dtype=_np.int32)
+    return order, inv
+
+
 def render_sample(
     scene: Scene,
     camera: PinholeCamera,
@@ -63,11 +87,13 @@ def render_sample(
     n = w * h
     jitter = frame_jitter(frame)
     uv = pixel_uv(w, h, jitter=jitter[None, :])
+    order, inv_order = _morton_pixel_order(w, h)
+    uv = jnp.take(uv, jnp.asarray(order), axis=0)  # trace in Z-order
     o, d = camera.generate_rays(uv)
     from .core.types import Rays
 
     rays = Rays.make(o, d)
-    pixel_ids = jnp.arange(n, dtype=jnp.int32)
+    pixel_ids = jnp.asarray(order)  # per-pixel RNG streams stay pixel-keyed
     stream = rng.make_stream(cfg.sampler, frame, pixel_ids)
     if cfg.integrator.type == IntegratorType.PATH:
         radiance = path_integrator.trace(
@@ -81,6 +107,7 @@ def render_sample(
             scene, camera, rays, stream, cfg.integrator,
             intersector.intersect, intersector.occluded,
         )
+    radiance = jnp.take(radiance, jnp.asarray(inv_order), axis=0)
     return radiance, jitter
 
 
