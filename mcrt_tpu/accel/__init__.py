@@ -59,7 +59,7 @@ def build_intersector(scene: Scene, cfg: RenderConfig) -> Intersector:
             build_blocked, intersect_blocked, occluded_blocked,
         )
 
-        acc = build_blocked(scene.geometry)
+        acc = build_blocked(scene.geometry, cfg.bvh)
         return Intersector(
             intersect=lambda s, r: intersect_blocked(s.geometry, acc, r),
             occluded=lambda s, r: occluded_blocked(s.geometry, acc, r),

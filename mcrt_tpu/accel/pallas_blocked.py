@@ -50,12 +50,13 @@ from flax import struct
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from ..config import BuilderType, BVHConfig
 from ..core.types import Hit, Rays
 from ..scene.scene import Geometry
 
 BLOCK = 128  # triangles per block (sublane axis of the test matrix)
 TILE = 1024  # rays per grid step (lane axis; 8 lane-rows of 128)
-SUPER = 16  # blocks per super-block (second cull level)
+SUPER = 8  # blocks per super-block (CHUNK_SUPERS must be >= 8 sublanes)
 CHUNK_BLOCKS = 64  # tri blocks per streamed chunk
 CHUNK = CHUNK_BLOCKS * BLOCK
 CHUNK_SUPERS = CHUNK_BLOCKS // SUPER
@@ -104,27 +105,64 @@ def _morton_u32(c01: np.ndarray) -> np.ndarray:
     ).astype(np.uint64)
 
 
-def build_blocked(geom: Geometry) -> BlockedAccel:
+def build_blocked(geom: Geometry,
+                  cfg: BVHConfig | None = None) -> BlockedAccel:
     """Host-side build (the ``IntersectionApi::Commit`` analogue for this
-    strategy): Morton-order triangles, pack row-major triangle table +
-    per-block AABBs.  O(N log N) sort on host; rebuild on geometry change."""
+    strategy).  Two block decompositions, selected by ``cfg.builder``
+    (mirroring the reference's SAH-vs-median builder option,
+    ``PathTracingSettings.h:157-255``):
+
+    - LBVH (default): Morton-order triangles, cut into fixed 128-slot
+      blocks.  O(N log N) sort, no native dependency.
+    - SAH: binned-SAH top-down partition (native C++,
+      ``native/mcrt_native.cpp`` — ``Bvh::FindSahSplit`` analogue) whose
+      leaves become blocks: tighter AABBs, fewer entered blocks per tile,
+      at the cost of partially-filled blocks.  Falls back to LBVH when the
+      native library is unavailable.
+    """
+    cfg = cfg or BVHConfig()
     pos = np.asarray(geom.positions)
     idx = np.asarray(geom.indices)
     valid = np.asarray(geom.face_valid)
     prim_ids = np.nonzero(valid)[0].astype(np.int32)
     tri_idx = idx[prim_ids]
-    p0 = pos[tri_idx[:, 0]]
-    p1 = pos[tri_idx[:, 1]]
-    p2 = pos[tri_idx[:, 2]]
 
-    cent = (p0 + p1 + p2) / 3.0
-    lo = cent.min(0)
-    span = np.maximum(cent.max(0) - lo, 1e-12)
-    order = np.argsort(_morton_u32((cent - lo) / span), kind="stable")
-    p0, p1, p2 = p0[order], p1[order], p2[order]
-    prim_ids = prim_ids[order]
+    sah = None
+    if cfg.builder == BuilderType.SAH:
+        try:
+            from ..runtime.native import sah_block_order
 
-    n = p0.shape[0]
+            sah = sah_block_order(pos, tri_idx, BLOCK, cfg.sah_bins)
+        except ImportError:
+            sah = None
+
+    if sah is not None:
+        order, bstart = sah
+        # scatter each SAH leaf into its own fixed 128-slot block
+        n_real_blocks = len(bstart) - 1
+        slots = np.full((n_real_blocks * BLOCK,), -1, np.int64)
+        for b in range(n_real_blocks):
+            s0, e0 = bstart[b], bstart[b + 1]
+            slots[b * BLOCK: b * BLOCK + (e0 - s0)] = order[s0:e0]
+        filled = slots >= 0
+        src = np.clip(slots, 0, None)
+        p0 = np.where(filled[:, None], pos[tri_idx[src, 0]], 0.0)
+        p1 = np.where(filled[:, None], pos[tri_idx[src, 1]], 0.0)
+        p2 = np.where(filled[:, None], pos[tri_idx[src, 2]], 0.0)
+        slot_ids = np.where(filled, prim_ids[src], -1).astype(np.int32)
+        n = len(slots)
+    else:
+        cent_pos = (pos[tri_idx[:, 0]] + pos[tri_idx[:, 1]]
+                    + pos[tri_idx[:, 2]]) / 3.0
+        lo = cent_pos.min(0)
+        span = np.maximum(cent_pos.max(0) - lo, 1e-12)
+        order = np.argsort(_morton_u32((cent_pos - lo) / span), kind="stable")
+        p0 = pos[tri_idx[order, 0]]
+        p1 = pos[tri_idx[order, 1]]
+        p2 = pos[tri_idx[order, 2]]
+        slot_ids = prim_ids[order].astype(np.int32)
+        n = p0.shape[0]
+
     nt = max(CHUNK, -(-n // CHUNK) * CHUNK)
     tri = np.zeros((nt, 9), np.float32)
     tri[:n, 0:3] = p0
@@ -138,11 +176,14 @@ def build_blocked(geom: Geometry) -> BlockedAccel:
     aabb[:, 6:8] = 0.0
     pmin = np.minimum(np.minimum(p0, p1), p2)
     pmax = np.maximum(np.maximum(p0, p1), p2)
+    # per-block bounds over REAL slots only (padding/unfilled excluded)
+    real = slot_ids >= 0 if sah is not None else np.ones((n,), bool)
     for b in range(nb):
         s, e = b * BLOCK, min((b + 1) * BLOCK, n)
-        if s < n:
-            aabb[b, 0:3] = pmin[s:e].min(0)
-            aabb[b, 3:6] = pmax[s:e].max(0)
+        if s < n and real[s:e].any():
+            m = real[s:e]
+            aabb[b, 0:3] = pmin[s:e][m].min(0)
+            aabb[b, 3:6] = pmax[s:e][m].max(0)
 
     ns = nb // SUPER
     saabb = np.empty((ns, 8), np.float32)
@@ -159,8 +200,12 @@ def build_blocked(geom: Geometry) -> BlockedAccel:
         t[empty, 0:6] = np.nan
 
     slot_prim = np.full((nt,), -1, np.int32)
-    slot_prim[:n] = prim_ids
-    bounds = np.stack([pmin.min(0), pmax.max(0)]).astype(np.float32)
+    slot_prim[:n] = slot_ids
+    if sah is not None:
+        rm = real
+        bounds = np.stack([pmin[rm].min(0), pmax[rm].max(0)]).astype(np.float32)
+    else:
+        bounds = np.stack([pmin.min(0), pmax.max(0)]).astype(np.float32)
     return BlockedAccel(
         tri=jnp.asarray(tri),
         aabb=jnp.asarray(aabb),
@@ -275,15 +320,15 @@ def _intersect_kernel(rays_ref, tri_ref, aabb_ref, saabb_ref,
     ox, oy, oz, dx, dy, dz, ix, iy, iz, tmn, tmx = _ray_rows(rt)
     sub = jax.lax.broadcasted_iota(jnp.int32, (BLOCK, TILE), 0)
 
-    def slab_enter(table_ref, g, tmax_eff):
-        a6 = [table_ref[g, i] for i in range(6)]
+    def slab_enter(table_ref, row, tmax_eff):
+        a6 = [table_ref[row, i] for i in range(6)]
         tn, tf = _slab_block(a6, ox, oy, oz, ix, iy, iz, tmn, tmax_eff)
         return jnp.any(tn <= tf)
 
     def visit_block(b, carry):
         best_t = carry[0]
-        g = c * CHUNK_BLOCKS + b  # global block id into the SMEM AABB table
-        enter = slab_enter(aabb_ref, g, jnp.minimum(tmx, best_t))
+        g = c * CHUNK_BLOCKS + b  # global block id (for slot numbering)
+        enter = slab_enter(aabb_ref, b, jnp.minimum(tmx, best_t))
 
         def run(cy):
             bt, bs, bu, bv = cy
@@ -306,8 +351,7 @@ def _intersect_kernel(rays_ref, tri_ref, aabb_ref, saabb_ref,
         return jax.lax.cond(enter, run, lambda cy: cy, carry)
 
     def visit_super(sidx, carry):
-        gs = c * CHUNK_SUPERS + sidx  # global super id
-        enter = slab_enter(saabb_ref, gs, jnp.minimum(tmx, carry[0]))
+        enter = slab_enter(saabb_ref, sidx, jnp.minimum(tmx, carry[0]))
         return jax.lax.cond(
             enter,
             lambda cy: jax.lax.fori_loop(
@@ -340,15 +384,14 @@ def _occluded_kernel(rays_ref, tri_ref, aabb_ref, saabb_ref, out_ref):
     # blocked is carried as f32 0/1: i1 vectors carried across cond/while
     # boundaries hit Mosaic mask-layout mismatches (observed on v5e)
 
-    def slab_enter(table_ref, g, open_t):
-        a6 = [table_ref[g, i] for i in range(6)]
+    def slab_enter(table_ref, row, open_t):
+        a6 = [table_ref[row, i] for i in range(6)]
         tn, tf = _slab_block(a6, ox, oy, oz, ix, iy, iz, tmn, open_t)
         return jnp.any(tn <= tf)
 
     def visit_block(b, blocked):
-        g = c * CHUNK_BLOCKS + b
         open_t = jnp.where(blocked > 0.0, -BIG, tmx)  # blocked lanes: no-op
-        enter = slab_enter(aabb_ref, g, open_t)
+        enter = slab_enter(aabb_ref, b, open_t)
 
         def run(blk):
             rows = tri_ref[pl.ds(b * BLOCK, BLOCK), :]
@@ -365,9 +408,8 @@ def _occluded_kernel(rays_ref, tri_ref, aabb_ref, saabb_ref, out_ref):
 
     def body(state):
         sidx, blocked = state
-        gs = c * CHUNK_SUPERS + sidx
         open_t = jnp.where(blocked > 0.0, -BIG, tmx)
-        enter = slab_enter(saabb_ref, gs, open_t)
+        enter = slab_enter(saabb_ref, sidx, open_t)
         blocked = jax.lax.cond(
             enter,
             lambda blk: jax.lax.fori_loop(
@@ -411,8 +453,12 @@ def _query_closest(rays_packed, tri, aabb, saabb, num_blocks):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((CHUNK, 9), lambda i, c: (c, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
+            # per-chunk SMEM windows: SMEM rows pad to 512 B each, so whole
+            # tables would cap the scene at ~2000 blocks (1 MiB SMEM)
+            pl.BlockSpec((CHUNK_BLOCKS, 8), lambda i, c: (c, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((CHUNK_SUPERS, 8), lambda i, c: (c, 0),
+                         memory_space=pltpu.SMEM),
         ],
         out_specs=[
             pl.BlockSpec((1, TILE), lambda i, c: (0, i),
@@ -454,8 +500,12 @@ def _query_any(rays_packed, tri, aabb, saabb, num_blocks):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((CHUNK, 9), lambda i, c: (c, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
+            # per-chunk SMEM windows: SMEM rows pad to 512 B each, so whole
+            # tables would cap the scene at ~2000 blocks (1 MiB SMEM)
+            pl.BlockSpec((CHUNK_BLOCKS, 8), lambda i, c: (c, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((CHUNK_SUPERS, 8), lambda i, c: (c, 0),
+                         memory_space=pltpu.SMEM),
         ],
         out_specs=pl.BlockSpec((1, TILE), lambda i, c: (0, i),
                                memory_space=pltpu.VMEM),

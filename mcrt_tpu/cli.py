@@ -1,0 +1,140 @@
+"""Command-line interface.
+
+New capability (the reference is GUI-only — scene switching, settings and
+render control all live in the ImGui editor, ``GUI/PathTracingGUI.cpp``;
+SURVEY §5 config notes there are no CLI flags or config files).  The CLI
+exposes the same knob set as typed YAML + flags:
+
+    python -m mcrt_tpu render --scene cornell --out out.png --spp 64
+    python -m mcrt_tpu render --config render.yaml --obj scene.obj
+    python -m mcrt_tpu info
+    python -m mcrt_tpu bench --scene bunny_field
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def _load_config(args) -> "RenderConfig":
+    from .config import RenderConfig, from_dict, replace
+    from .config import IntegratorConfig, IntegratorType
+
+    if args.config:
+        import yaml
+
+        with open(args.config) as f:
+            cfg = from_dict(yaml.safe_load(f) or {})
+    else:
+        cfg = RenderConfig()
+    over = {}
+    if args.width:
+        over["width"] = args.width
+    if args.height:
+        over["height"] = args.height
+    if args.spp:
+        over["spp"] = args.spp
+    if over:
+        cfg = replace(cfg, **over)
+    integ = {}
+    if args.max_depth:
+        integ["max_depth"] = args.max_depth
+    if args.integrator:
+        integ["type"] = IntegratorType(args.integrator)
+    if integ:
+        cfg = replace(cfg, integrator=replace(cfg.integrator, **integ))
+    return cfg
+
+
+def _load_scene(args):
+    from .scene import builders
+
+    if args.obj:
+        return builders.scene_from_obj(args.obj)
+    maker = getattr(builders, args.scene, None)
+    if maker is None:
+        sys.exit(f"unknown scene {args.scene!r}; "
+                 f"use cornell_box / bunny_field or --obj FILE")
+    return maker()
+
+
+def cmd_render(args) -> int:
+    import numpy as np
+
+    from .renderer import Renderer
+    from .utils.image import write_png
+
+    cfg = _load_config(args)
+    scene, camera = _load_scene(args)
+    t0 = time.time()
+    r = Renderer(scene, camera, cfg)
+    img = np.asarray(r.render())
+    dt = time.time() - t0
+    write_png(args.out, img.reshape(cfg.height, cfg.width, 3))
+    n_rays = cfg.width * cfg.height * cfg.spp * (cfg.integrator.max_depth + 1)
+    print(f"rendered {cfg.width}x{cfg.height} @ {cfg.spp} spp "
+          f"in {dt:.2f}s (~{n_rays / dt / 1e6:.1f} Mrays/s upper bound) "
+          f"-> {args.out}")
+    return 0
+
+
+def cmd_info(args) -> int:
+    import jax
+
+    from .runtime import enumerate_devices, device_memory_stats
+    from .runtime.native import available as native_available
+
+    print(f"jax {jax.__version__}")
+    for d in enumerate_devices():
+        mem = f"{d.memory_bytes / 2**30:.1f} GiB" if d.memory_bytes else "?"
+        print(f"  device {d.index}: {d.kind} ({d.platform}), HBM {mem}")
+    stats = device_memory_stats(0)
+    if stats:
+        used = stats.get("bytes_in_use", 0)
+        print(f"  bytes in use: {used / 2**20:.1f} MiB")
+    print(f"native library: {'available' if native_available() else 'absent'}")
+    return 0
+
+
+def cmd_bench(args) -> int:
+    import os
+    import subprocess
+
+    env = dict(os.environ)
+    if args.scene:
+        env["BENCH_SCENE"] = args.scene
+    return subprocess.call([sys.executable, "bench.py"], env=env)
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="mcrt_tpu")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    pr = sub.add_parser("render", help="render a scene to PNG")
+    pr.add_argument("--scene", default="cornell_box",
+                    help="built-in scene (cornell_box, bunny_field)")
+    pr.add_argument("--obj", default=None, help="OBJ file to render")
+    pr.add_argument("--config", default=None, help="YAML RenderConfig")
+    pr.add_argument("--out", default="render.png")
+    pr.add_argument("--width", type=int, default=0)
+    pr.add_argument("--height", type=int, default=0)
+    pr.add_argument("--spp", type=int, default=0)
+    pr.add_argument("--max-depth", type=int, default=0)
+    pr.add_argument("--integrator", choices=["path", "bdpt"], default=None)
+    pr.set_defaults(fn=cmd_render)
+
+    pi = sub.add_parser("info", help="device + runtime info")
+    pi.set_defaults(fn=cmd_info)
+
+    pb = sub.add_parser("bench", help="run the benchmark harness")
+    pb.add_argument("--scene", default=None)
+    pb.set_defaults(fn=cmd_bench)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

