@@ -155,6 +155,28 @@ class Renderer:
         (``RTPathTracingPass.cpp:49-53``)."""
         self.accum = self.accum.reset()
 
+    def update_scene(self, scene: Scene, rebuild_accel: bool = True):
+        """Swap in an edited scene — the ``RTScene::updateDynamicEntities`` →
+        ``Commit`` → notify-integrators path (``RTScene.cpp:317-391``,
+        SURVEY §3.4): optionally rebuild the accel and reset accumulation.
+        Material-only edits (same geometry) can pass ``rebuild_accel=False``;
+        the frame function is retraced only if the accel pytree changed."""
+        self.scene = scene
+        if rebuild_accel:
+            self.intersector = build_intersector(scene, self.cfg)
+            self._frame_fn = jax.jit(
+                functools.partial(
+                    render_frame_fn, cfg=self.cfg, intersector=self.intersector
+                )
+            )
+        self.reset()
+
+    def update_camera(self, camera: PinholeCamera):
+        """Camera move: swap + accumulation reset (the reference's
+        ``bMovedInLastUpdate`` signal, SURVEY §2c camera layer)."""
+        self.camera = camera
+        self.reset()
+
     def step(self, n_frames: int = 1):
         for _ in range(n_frames):
             self.accum = self._frame_fn(

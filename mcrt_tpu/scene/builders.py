@@ -56,6 +56,27 @@ class SceneBuffers:
         self._shape += 1
         return sid
 
+    def add_instance(self, src_shape: int, material_id: int,
+                     to_world: np.ndarray, light_id: int = -1) -> int:
+        """Instance a previously added shape under a new transform — the
+        ``IntersectionApi::CreateInstance`` analogue (``radeon_rays.h:223-227``,
+        used for shared meshes in ``RTScene::attachMesh``,
+        ``RTScene.cpp:564-678``).  Geometry is flattened world-space on TPU,
+        so the instance gets its own transformed vertex block; the shared
+        object-space source survives in the :class:`SceneAnimator` base
+        snapshot for later dynamic transforms."""
+        m = np.asarray(to_world, np.float32)
+        pos = self.positions[src_shape]
+        p = pos @ m[:3, :3].T + m[:3, 3]
+        nmat = np.linalg.inv(m[:3, :3]).T
+        n = self.normals[src_shape] @ nmat.T
+        n /= np.maximum(np.linalg.norm(n, axis=-1, keepdims=True), 1e-20)
+        # rebase source indices to this instance's vertex block
+        src_base = sum(len(v) for v in self.positions[:src_shape])
+        local = self.indices[src_shape] - src_base
+        return self.add_mesh(p, local, material_id, normals=n,
+                             uvs=self.uvs[src_shape], light_id=light_id)
+
     def concat(self):
         return (
             np.concatenate(self.positions),

@@ -1,0 +1,108 @@
+"""Dynamic scene updates + instancing (SURVEY §3.4:
+``RTScene::updateDynamicEntities`` → ``SetTransform`` + ``Commit`` + reset)."""
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mcrt_tpu import RenderConfig, Renderer
+from mcrt_tpu.config import AccelType, IntegratorConfig
+from mcrt_tpu.scene.builders import SceneBuffers, box, cornell_box
+from mcrt_tpu.scene.dynamic import (
+    SceneAnimator, rotation_y, scale, translation, vertex_shape_ids,
+)
+from mcrt_tpu.scene.scene import LIGHT_MESH
+
+TALL_BOX = 5  # cornell_box shape ids: 0-4 walls, 5-6 boxes, 7 light
+LIGHT_SHAPE = 7
+
+
+@pytest.fixture(scope="module")
+def cornell():
+    return cornell_box()
+
+
+def test_identity_transform_is_noop(cornell):
+    scene, _ = cornell
+    anim = SceneAnimator.create(scene)
+    out = anim.transformed(jnp.asarray(anim.identity_transforms()))
+    np.testing.assert_allclose(
+        np.asarray(out.geometry.positions),
+        np.asarray(scene.geometry.positions), atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(out.geometry.normals),
+        np.asarray(scene.geometry.normals), atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(out.lights.tri_cdf),
+        np.asarray(scene.lights.tri_cdf), atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(out.lights.area), np.asarray(scene.lights.area), rtol=1e-5)
+
+
+def test_translate_moves_only_target_shape(cornell):
+    scene, _ = cornell
+    anim = SceneAnimator.create(scene)
+    out = anim.set_transform(TALL_BOX, translation((0.25, 0.0, 0.0)))
+    vs = np.asarray(vertex_shape_ids(scene))
+    p0 = np.asarray(scene.geometry.positions)
+    p1 = np.asarray(out.geometry.positions)
+    moved = vs == TALL_BOX
+    np.testing.assert_allclose(p1[moved] - p0[moved],
+                               np.broadcast_to([0.25, 0, 0], (moved.sum(), 3)),
+                               atol=1e-6)
+    np.testing.assert_allclose(p1[~moved], p0[~moved], atol=1e-6)
+    # rigid translation keeps normals
+    np.testing.assert_allclose(np.asarray(out.geometry.normals),
+                               np.asarray(scene.geometry.normals), atol=1e-5)
+
+
+def test_scaled_light_refreshes_area_and_pdf(cornell):
+    scene, _ = cornell
+    anim = SceneAnimator.create(scene)
+    out = anim.set_transform(LIGHT_SHAPE, scale(2.0))
+    a0 = float(scene.lights.area[0])
+    a1 = float(out.lights.area[0])
+    assert a1 == pytest.approx(4.0 * a0, rel=1e-4)
+    cdf = np.asarray(out.lights.tri_cdf)
+    assert cdf[-1] == pytest.approx(1.0, abs=1e-5)
+    assert np.all(np.diff(cdf) >= -1e-6)
+
+
+def test_render_after_transform_changes_image(cornell):
+    scene, camera = cornell
+    cfg = RenderConfig(width=32, height=32, spp=4, samples_per_pass=4,
+                       accel=AccelType.BRUTE,
+                       integrator=IntegratorConfig(max_depth=2))
+    r = Renderer(scene, camera, cfg)
+    img0 = np.asarray(r.render())
+    anim = SceneAnimator.create(scene)
+    moved = anim.set_transform(TALL_BOX, translation((0.4, 0.0, 0.2)))
+    r.update_scene(moved)
+    assert int(r.accum.frame) == 0  # accumulation reset (RTScene.cpp:356-391)
+    img1 = np.asarray(r.render())
+    assert np.isfinite(img1).all()
+    assert np.abs(img1 - img0).max() > 1e-3
+
+
+def test_rotation_preserves_mesh_light_area(cornell):
+    scene, _ = cornell
+    anim = SceneAnimator.create(scene)
+    out = anim.set_transform(LIGHT_SHAPE, rotation_y(0.7))
+    assert float(out.lights.area[0]) == pytest.approx(
+        float(scene.lights.area[0]), rel=1e-4)
+
+
+def test_add_instance_duplicates_geometry():
+    sb = SceneBuffers()
+    pos, idx = box([0, 0, 0], [1, 1, 1])
+    src = sb.add_mesh(pos, idx, material_id=0)
+    inst = sb.add_instance(src, material_id=0,
+                           to_world=translation((3.0, 0.0, 0.0)))
+    assert inst == src + 1
+    positions, normals, uvs, indices, face_shape, *_ = sb.concat()
+    n = len(pos)
+    np.testing.assert_allclose(positions[n:] - positions[:n],
+                               np.broadcast_to([3, 0, 0], (n, 3)), atol=1e-6)
+    np.testing.assert_allclose(normals[n:], normals[:n], atol=1e-6)
+    # instance faces index into the instance's own vertex block
+    inst_faces = indices[face_shape == inst]
+    assert inst_faces.min() >= n
