@@ -148,6 +148,11 @@ class RenderConfig:
     denoise: DenoiseConfig = field(default_factory=DenoiseConfig)
     tonemap: ToneMapConfig = field(default_factory=ToneMapConfig)
     sharding: ShardingConfig = field(default_factory=ShardingConfig)
+    # pause conditions for progressive rendering (stopAtFrame / stopAtTime,
+    # GUI/PathTracingSettings.h:46-47 + RTPathTracingPass.cpp:56-58);
+    # 0 = no limit
+    stop_at_spp: int = 0
+    stop_at_time_s: float = 0.0
 
 
 # ----------------------------------------------------------------------------

@@ -11,6 +11,7 @@ are applied on the resolved image only when displaying.
 from __future__ import annotations
 
 import functools
+import time as _time
 
 import jax
 import jax.numpy as jnp
@@ -144,6 +145,7 @@ class Renderer:
         self.cfg = cfg
         self.intersector = build_intersector(scene, cfg)
         self.accum = Accumulator.zeros(cfg.width, cfg.height)
+        self._render_start = None
         self._frame_fn = jax.jit(
             functools.partial(
                 render_frame_fn, cfg=cfg, intersector=self.intersector
@@ -154,6 +156,7 @@ class Renderer:
         """Accumulation reset on camera move / scene edit
         (``RTPathTracingPass.cpp:49-53``)."""
         self.accum = self.accum.reset()
+        self._render_start = None
 
     def update_scene(self, scene: Scene, rebuild_accel: bool = True):
         """Swap in an edited scene — the ``RTScene::updateDynamicEntities`` →
@@ -179,10 +182,24 @@ class Renderer:
 
     def step(self, n_frames: int = 1):
         for _ in range(n_frames):
+            if self.stopped():
+                break
             self.accum = self._frame_fn(
                 self.scene, self.camera, self.accum, self.accum.frame
             )
         return self.accum
+
+    def stopped(self) -> bool:
+        """Pause conditions — the reference's stopAtFrame/stopAtTime
+        (``RTPathTracingPass.cpp:56-58``)."""
+        if self.cfg.stop_at_spp and int(self.accum.frame) >= self.cfg.stop_at_spp:
+            return True
+        if self.cfg.stop_at_time_s:
+            if self._render_start is None:
+                self._render_start = _time.monotonic()
+            elif _time.monotonic() - self._render_start >= self.cfg.stop_at_time_s:
+                return True
+        return False
 
     def render(self, spp: int | None = None) -> jax.Array:
         """Render to `spp` samples per pixel and return the resolved image."""

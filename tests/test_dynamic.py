@@ -106,3 +106,15 @@ def test_add_instance_duplicates_geometry():
     # instance faces index into the instance's own vertex block
     inst_faces = indices[face_shape == inst]
     assert inst_faces.min() >= n
+
+
+def test_stop_at_spp(cornell):
+    scene, camera = cornell
+    cfg = RenderConfig(width=16, height=16, spp=8, samples_per_pass=1,
+                       accel=AccelType.BRUTE, stop_at_spp=3,
+                       integrator=IntegratorConfig(max_depth=1))
+    r = Renderer(scene, camera, cfg)
+    r.render()
+    assert int(r.accum.frame) == 3  # paused at stopAtFrame
+    r.reset()
+    assert int(r.accum.frame) == 0
