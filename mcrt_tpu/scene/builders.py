@@ -306,3 +306,176 @@ def bunny_field(grid: int = 7, bunny_path: str | None = None):
         aspect=1.0,
     )
     return scene, camera
+
+
+# ---------------------------------------------------------------------------
+# Demo scene descriptors (the reference ships 5 scene setups with camera +
+# light poses, PathTracingApp.cpp:348-407; these are the procedural
+# stand-ins for its asset-based scenes)
+# ---------------------------------------------------------------------------
+
+def icosphere(center, radius: float, subdiv: int = 2):
+    """Icosahedron subdivided `subdiv` times, projected to a sphere.
+    (positions, indices) with smooth normals = positions direction."""
+    t = (1.0 + np.sqrt(5.0)) / 2.0
+    v = np.asarray([
+        [-1, t, 0], [1, t, 0], [-1, -t, 0], [1, -t, 0],
+        [0, -1, t], [0, 1, t], [0, -1, -t], [0, 1, -t],
+        [t, 0, -1], [t, 0, 1], [-t, 0, -1], [-t, 0, 1],
+    ], np.float64)
+    v /= np.linalg.norm(v, axis=1, keepdims=True)
+    f = np.asarray([
+        [0, 11, 5], [0, 5, 1], [0, 1, 7], [0, 7, 10], [0, 10, 11],
+        [1, 5, 9], [5, 11, 4], [11, 10, 2], [10, 7, 6], [7, 1, 8],
+        [3, 9, 4], [3, 4, 2], [3, 2, 6], [3, 6, 8], [3, 8, 9],
+        [4, 9, 5], [2, 4, 11], [6, 2, 10], [8, 6, 7], [9, 8, 1],
+    ], np.int64)
+    for _ in range(subdiv):
+        verts = list(map(tuple, v))
+        cache: dict[tuple, int] = {tuple(p): i for i, p in enumerate(verts)}
+        def midpoint(a, b):
+            m = (v[a] + v[b]) / 2.0
+            m /= np.linalg.norm(m)
+            key = tuple(np.round(m, 9))
+            if key not in cache:
+                cache[key] = len(verts)
+                verts.append(tuple(m))
+            return cache[key]
+        nf = []
+        for a, b, c in f:
+            ab, bc, ca = midpoint(a, b), midpoint(b, c), midpoint(c, a)
+            nf += [[a, ab, ca], [ab, b, bc], [ca, bc, c], [ab, bc, ca]]
+        v = np.asarray(verts, np.float64)
+        v /= np.linalg.norm(v, axis=1, keepdims=True)
+        f = np.asarray(nf, np.int64)
+    normals = v.astype(np.float32)
+    positions = (v * radius + np.asarray(center, np.float64)).astype(np.float32)
+    return positions, f.astype(np.int32), normals
+
+
+def glass_gallery():
+    """Dragon-config stand-in (BASELINE config 2): glossy Trowbridge-Reitz
+    microfacet + specular-transmission spheres under a mesh area light —
+    the material coverage of the reference's Stanford-Dragon scene
+    (PathTracingApp.cpp:348-407) without its asset."""
+    sb = SceneBuffers()
+    mats = [
+        UberMaterial(diffuse=(0.55, 0.55, 0.58)),                       # floor
+        UberMaterial(glossy=(0.9, 0.75, 0.4), roughness=0.08),          # gold-ish
+        UberMaterial(kt=(0.95, 0.95, 0.95), kr=(0.1, 0.1, 0.1),
+                     diffuse=(0.0, 0.0, 0.0), roughness=0.0, ior=1.5),  # glass
+        UberMaterial(glossy=(0.4, 0.45, 0.8), diffuse=(0.1, 0.1, 0.25),
+                     roughness=0.25),                                   # blue glossy
+        UberMaterial(diffuse=(0.0, 0.0, 0.0)),                          # emitter
+    ]
+    ext = 4.0
+    fp, fi = quad([-ext, 0, ext], [ext, 0, ext], [ext, 0, -ext], [-ext, 0, -ext])
+    sb.add_mesh(fp, fi, 0)
+    for mid, (cx, cz) in zip((1, 2, 3), ((-1.6, 0.0), (0.0, 0.6), (1.6, -0.2))):
+        p, idx, n = icosphere((cx, 0.75, cz), 0.75, subdiv=3)
+        sb.add_mesh(p, idx, mid, normals=n)
+    lp, li = quad([-1.2, 3.5, -1.2], [1.2, 3.5, -1.2], [1.2, 3.5, 1.2],
+                  [-1.2, 3.5, 1.2])
+    light_shape = sb.add_mesh(lp, li, 4, light_id=0)
+
+    positions, normals, uvs, indices, face_shape, shape_mat, shape_light = sb.concat()
+    lights = make_lights(
+        [{"type": LIGHT_MESH, "intensity": (14.0, 13.0, 12.0),
+          "shape": light_shape}],
+        positions, indices, face_shape,
+    )
+    scene = build_scene(positions, normals, uvs, indices, face_shape,
+                        shape_mat, mats, lights=lights, shape_light=shape_light)
+    camera = PinholeCamera.look_at(
+        eye=(0.0, 2.2, 5.5), target=(0.0, 0.7, 0.0), fov_deg=42.0, aspect=1.0)
+    return scene, camera
+
+
+def _checkerboard(n: int = 256, tiles: int = 8, c0=(0.85, 0.82, 0.75),
+                  c1=(0.25, 0.2, 0.18)) -> np.ndarray:
+    yy, xx = np.meshgrid(np.arange(n), np.arange(n), indexing="ij")
+    mask = ((xx * tiles // n + yy * tiles // n) % 2).astype(bool)
+    img = np.where(mask[..., None], np.asarray(c1, np.float32),
+                   np.asarray(c0, np.float32))
+    return img
+
+
+def _ridge_normal_map(n: int = 256, freq: int = 12, amp: float = 0.35) -> np.ndarray:
+    """Tangent-space sine-ridge normal map encoded [0,1] (materials.cl:14-30)."""
+    x = np.linspace(0, 2 * np.pi * freq, n, dtype=np.float32)
+    dz = amp * np.cos(x)  # d(height)/du
+    nx = -dz / np.sqrt(1 + dz * dz)
+    nzz = 1.0 / np.sqrt(1 + dz * dz)
+    nm = np.zeros((n, n, 3), np.float32)
+    nm[..., 0] = nx[None, :]
+    nm[..., 1] = 0.0
+    nm[..., 2] = nzz[None, :]
+    return nm * 0.5 + 0.5
+
+
+def textured_hall(with_uvs_scale: float = 4.0):
+    """Sponza-config stand-in (BASELINE config 3): checkerboard-textured and
+    normal-mapped uber materials lit by point + directional lights (the
+    reference's Crytek-Sponza material/light coverage,
+    PathTracingApp.cpp:348-407) — pairs with the Sobol sampler config."""
+    from .scene import (
+        LIGHT_DIRECTIONAL, LIGHT_POINT, N_TEX_SLOTS, TEX_DIFFUSE, TEX_NORMAL,
+    )
+    from .textures import AtlasBuilder
+
+    atlas_b = AtlasBuilder()
+    tid_check = atlas_b.add(_checkerboard())
+    tid_warm = atlas_b.add(_checkerboard(tiles=16, c0=(0.8, 0.55, 0.35),
+                                         c1=(0.5, 0.3, 0.2)))
+    tid_nm = atlas_b.add(_ridge_normal_map())
+
+    tex_floor = np.full((N_TEX_SLOTS,), -1, np.int32)
+    tex_floor[TEX_DIFFUSE] = tid_check
+    tex_floor[TEX_NORMAL] = tid_nm
+    tex_wall = np.full((N_TEX_SLOTS,), -1, np.int32)
+    tex_wall[TEX_DIFFUSE] = tid_warm
+    mats = [
+        UberMaterial(diffuse=(1.0, 1.0, 1.0), glossy=(0.15, 0.15, 0.15),
+                     roughness=0.2, tex=tex_floor),
+        UberMaterial(diffuse=(1.0, 1.0, 1.0), tex=tex_wall),
+        UberMaterial(diffuse=(0.7, 0.7, 0.7)),
+    ]
+
+    sb = SceneBuffers()
+    s, h, d = 4.0, 3.0, 8.0
+    u = with_uvs_scale
+
+    def quad_uv(p0, p1, p2, p3):
+        pos, idx = quad(p0, p1, p2, p3)
+        uvs = np.asarray([[0, 0], [u, 0], [u, u], [0, u]], np.float32)
+        return pos, idx, uvs
+
+    pos, idx, uvs = quad_uv([-s, 0, d], [s, 0, d], [s, 0, -d], [-s, 0, -d])
+    sb.add_mesh(pos, idx, 0, uvs=uvs)  # floor: textured + normal-mapped
+    pos, idx, uvs = quad_uv([-s, 0, -d], [-s, 0, d], [-s, h, d], [-s, h, -d])
+    sb.add_mesh(pos, idx, 1, uvs=uvs)  # left wall
+    pos, idx, uvs = quad_uv([s, 0, d], [s, 0, -d], [s, h, -d], [s, h, d])
+    sb.add_mesh(pos, idx, 1, uvs=uvs)  # right wall
+    pos, idx, uvs = quad_uv([-s, 0, -d], [-s, h, -d], [s, h, -d], [s, 0, -d])
+    sb.add_mesh(pos, idx, 2, uvs=uvs)  # back wall
+    # a few columns
+    for cx in (-2.0, 0.0, 2.0):
+        p, i2 = box([cx - 0.25, 0.0, -2.0], [cx + 0.25, h * 0.8, -1.5])
+        sb.add_mesh(p, i2, 2)
+
+    positions, normals, uvs_a, indices, face_shape, shape_mat, shape_light = sb.concat()
+    lights = make_lights(
+        [
+            {"type": LIGHT_POINT, "position": (0.0, h * 0.85, 1.0),
+             "intensity": (30.0, 28.0, 24.0)},
+            {"type": LIGHT_DIRECTIONAL, "direction": (-0.3, -1.0, -0.45),
+             "intensity": (2.5, 2.4, 2.2)},
+        ],
+        positions, indices, face_shape,
+    )
+    scene = build_scene(positions, normals, uvs_a, indices, face_shape,
+                        shape_mat, mats, lights=lights, shape_light=shape_light,
+                        textures=atlas_b.build())
+    camera = PinholeCamera.look_at(
+        eye=(0.0, 1.8, 6.5), target=(0.0, 1.0, -2.0), fov_deg=55.0, aspect=1.0)
+    return scene, camera
