@@ -1,39 +1,49 @@
-"""Pallas blocked-dense intersection engine (the TPU-native "BVH").
+"""Pallas sorted-wavefront intersection engine (the TPU-native "BVH").
 
 Role of the reference's native intersection engine (Radeon Rays traversal
 drivers + CL kernels, ``src/intersector/intersector_skip_links.cpp`` +
 ``kernels/CL/intersect_bvh2_skiplinks.cl``), redesigned for the TPU's dense
-vector model instead of translated:
+vector model instead of translated.  Second-generation design (v2): the
+round-1 kernel streamed the whole triangle table through VMEM and walked
+every block behind scalar ``lax.cond``s; this version visits *exactly* the
+blocks a ray tile enters, front-to-back, with early exit:
 
-- A pointer-chasing BVH traversal is gather-bound, and Mosaic exposes no
-  per-lane VMEM gather (measured: ``jnp.take``/``take_along_axis`` do not
-  lower; one-hot matmul gathers are exact only at ``precision=HIGHEST`` and
-  scale O(nodes x rays)).  So instead of a deep tree we build a *two-level
-  wide structure*: triangles are Morton-ordered and packed into fixed-size
-  blocks of ``BLOCK`` (=128) with one AABB per block.
-- Grid = (ray_tiles, tri_chunks).  The chunk axis streams the triangle table
-  through VMEM (auto double-buffered by the Pallas pipeline — scales to any
-  scene size); the per-tile outputs are revisited across the chunk axis and
-  act as the accumulator, like a matmul K-loop.
-- Within a chunk, each block's AABB (scalars in SMEM) is slab-tested against
-  the whole ray tile and the dense (BLOCK x T) Möller-Trumbore is *skipped*
-  via ``lax.cond`` unless some live ray enters closer than its current best —
-  tile-granularity traversal, the TPU analogue of warp-coherent BVH descent.
+1. **Build** (host): triangles are SAH- or Morton-ordered and packed into
+   fixed 128-slot blocks with one AABB per block (``BLOCK`` = lane width —
+   the DMA granularity constraint).  The table is stored transposed
+   ``(16, NT)`` so a block is a lane-aligned column slice, DMA-able by
+   dynamic index straight from HBM.
+2. **Cull** (Pallas, per ray tile): every block AABB is slab-tested against
+   the whole tile in dense ``(128 blocks, TILE rays)`` vector ops; emits a
+   per-(tile, block) sort key = entry distance (+inf when no ray enters).
+3. **Sort** (XLA): one ``lax.sort`` per tile orders entered blocks
+   near-to-far and yields the visit list + per-visit entry distances.
+4. **Traverse** (Pallas): each tile loops over its own list with a dynamic
+   ``while_loop``; per visit the block's 128 triangles are DMA'd from HBM
+   (double-buffered, overlapped with compute) and Möller-Trumbore-tested
+   densely against the tile — VPU-roofline work (measured ~50 Gtests/s on
+   v5e).  The loop **exits early** once the next block's entry distance
+   exceeds every live ray's current best hit — the TPU analogue of
+   front-to-back BVH descent with ray termination
+   (``intersect_bvh2_skiplinks.cl`` pops until the stack drains).
+5. **Resolve** (XLA): barycentrics and primitive ids are recomputed only
+   for each ray's single winning slot via ordinary XLA gathers — the
+   per-pair kernel carries just (best_t, best_slot).
+
+Dead rays sort to the end of the wavefront (coherence key = +inf), so tiles
+past the live front have empty visit lists and cost nothing — wavefront
+compaction without any data movement beyond the coherence sort the queries
+already do.
 
 Layout rules learned on-chip (v5e):
 
-- **rays live on lanes**: all per-ray running state is (1, T) — 8 vregs per
-  1024 rays.  The transposed (T, 1) layout wastes a 128x-padded vreg per 8
-  rays, and carrying four such accumulators through ``lax.cond`` spills
-  ~512 vregs per block visit (measured 9 us/block — 25x slower).
-- the (BLOCK, T) test matrix puts triangles on sublanes: per-ray reductions
-  (min / argmin / any) are sublane reductions ending in (1, T).
-- block AABBs are scalars in SMEM driving control flow; triangle block data
-  is (BLOCK, 9) rows sliced from the streamed chunk.
-
-Ray coherence: callers should pass rays Morton-sorted by direction/origin
-so tiles are coherent and culling is effective — same mitigation as the
-reference's wavefront pixel-order launches.
+- **rays live on lanes**: all per-ray running state is (1, T); the (BLOCK, T)
+  test matrix puts triangles on sublanes so per-ray reductions are sublane
+  reductions ending in (1, T).
+- HBM column slices must be lane-aligned: BLOCK = 128 exactly, and the
+  component axis pads to 16 sublanes.
+- visit lists and entry distances live in SMEM (scalar-indexed per
+  iteration); VMEM refs cannot be scalar-read at dynamic lane offsets.
 
 Differentiation: hits are discrete events; the queries carry a custom_vjp
 returning zero cotangents (SURVEY §7 build-plan item 7) — parameter
@@ -54,37 +64,33 @@ from ..config import BuilderType, BVHConfig
 from ..core.types import Hit, Rays
 from ..scene.scene import Geometry
 
-BLOCK = 128  # triangles per block (sublane axis of the test matrix)
+BLOCK = 128  # triangles per block == DMA lane alignment (hard constraint)
 TILE = 1024  # rays per grid step (lane axis; 8 lane-rows of 128)
-SUPER = 8  # blocks per super-block (CHUNK_SUPERS must be >= 8 sublanes)
-CHUNK_BLOCKS = 64  # tri blocks per streamed chunk
-CHUNK = CHUNK_BLOCKS * BLOCK
-CHUNK_SUPERS = CHUNK_BLOCKS // SUPER
 F32_MAX = float(jnp.finfo(jnp.float32).max)
 BIG = 3.0e38  # python float: jnp scalars would be captured consts in kernels
 
 
 class BlockedAccel(struct.PyTreeNode):
-    """Morton-blocked triangle table (the device accel pytree).
+    """Sorted-wavefront triangle table (the device accel pytree).
 
-    ``tri``: (NT, 9) p0/e1/e2 rows, NT a multiple of CHUNK; padding rows are
-    degenerate (e1=e2=0 -> det 0 -> miss).
-    ``aabb``: (NB, 8) per-block lo.xyz/hi.xyz rows (cols 6..7 padding), kept
-    in SMEM — block bounds are scalars driving the cull branch; padded
-    blocks have lo=+BIG so the slab test culls them.
+    ``tri``: (16, NT) transposed p0/e1/e2 component rows (rows 9..15 pad),
+    NT a multiple of BLOCK; padding columns are degenerate (e1=e2=0 ->
+    det 0 -> miss).  Transposed so one block is a lane-aligned (16, 128)
+    column slice, DMA-able from HBM by dynamic block index.
+    ``aabb``: (NBpad, 8) per-block lo.xyz/hi.xyz rows (cols 6..7 padding);
+    padded/empty blocks are NaN-poisoned so every slab comparison is false.
     ``slot_prim``: (NT,) sorted-slot -> original primitive id (-1 padding).
     """
 
     tri: jax.Array
     aabb: jax.Array
-    saabb: jax.Array  # (NB // SUPER, 8) union AABBs, the second cull level
     slot_prim: jax.Array
     bounds: jax.Array  # (2, 3) scene lo/hi for the ray-coherence sort key
     num_blocks: int = struct.field(pytree_node=False)
 
     @property
     def num_slots(self) -> int:
-        return self.tri.shape[0]
+        return self.tri.shape[1]
 
 
 def _morton_u32(c01: np.ndarray) -> np.ndarray:
@@ -112,13 +118,13 @@ def build_blocked(geom: Geometry,
     (mirroring the reference's SAH-vs-median builder option,
     ``PathTracingSettings.h:157-255``):
 
-    - LBVH (default): Morton-order triangles, cut into fixed 128-slot
-      blocks.  O(N log N) sort, no native dependency.
-    - SAH: binned-SAH top-down partition (native C++,
+    - SAH (default): binned-SAH top-down partition (native C++,
       ``native/mcrt_native.cpp`` — ``Bvh::FindSahSplit`` analogue) whose
       leaves become blocks: tighter AABBs, fewer entered blocks per tile,
       at the cost of partially-filled blocks.  Falls back to LBVH when the
       native library is unavailable.
+    - LBVH: Morton-order triangles, cut into fixed 128-slot blocks.
+      O(N log N) sort, no native dependency.
     """
     cfg = cfg or BVHConfig()
     pos = np.asarray(geom.positions)
@@ -163,14 +169,16 @@ def build_blocked(geom: Geometry,
         slot_ids = prim_ids[order].astype(np.int32)
         n = p0.shape[0]
 
-    nt = max(CHUNK, -(-n // CHUNK) * CHUNK)
-    tri = np.zeros((nt, 9), np.float32)
-    tri[:n, 0:3] = p0
-    tri[:n, 3:6] = p1 - p0
-    tri[:n, 6:9] = p2 - p0
+    nt = max(BLOCK, -(-n // BLOCK) * BLOCK)
+    tri = np.zeros((16, nt), np.float32)
+    tri[0:3, :n] = p0.T
+    tri[3:6, :n] = (p1 - p0).T
+    tri[6:9, :n] = (p2 - p0).T
 
     nb = nt // BLOCK
-    aabb = np.empty((nb, 8), np.float32)
+    # the cull kernel processes AABB rows in (128, 8) chunks
+    nbpad = max(128, -(-nb // 128) * 128)
+    aabb = np.empty((nbpad, 8), np.float32)
     aabb[:, 0:3] = BIG
     aabb[:, 3:6] = -BIG
     aabb[:, 6:8] = 0.0
@@ -185,19 +193,12 @@ def build_blocked(geom: Geometry,
             aabb[b, 0:3] = pmin[s:e][m].min(0)
             aabb[b, 3:6] = pmax[s:e][m].max(0)
 
-    ns = nb // SUPER
-    saabb = np.empty((ns, 8), np.float32)
-    saabb[:, 0:3] = aabb[:, 0:3].reshape(ns, SUPER, 3).min(1)
-    saabb[:, 3:6] = aabb[:, 3:6].reshape(ns, SUPER, 3).max(1)
-    saabb[:, 6:8] = 0.0
-
     # empty (padded) boxes must FAIL the slab test.  An inverted box
     # (lo=+BIG > hi=-BIG) *passes* it — the per-axis min/max swap turns it
     # into a full-range interval — so poison empties with NaN: NaN
     # comparisons are false, which culls unconditionally.
-    for t in (aabb, saabb):
-        empty = t[:, 0] > t[:, 3]
-        t[empty, 0:6] = np.nan
+    empty = aabb[:, 0] > aabb[:, 3]
+    aabb[empty, 0:6] = np.nan
 
     slot_prim = np.full((nt,), -1, np.int32)
     slot_prim[:n] = slot_ids
@@ -209,7 +210,6 @@ def build_blocked(geom: Geometry,
     return BlockedAccel(
         tri=jnp.asarray(tri),
         aabb=jnp.asarray(aabb),
-        saabb=jnp.asarray(saabb),
         slot_prim=jnp.asarray(slot_prim),
         bounds=jnp.asarray(bounds),
         num_blocks=nb,
@@ -227,17 +227,20 @@ def _expand10(x: jax.Array) -> jax.Array:
 
 def _coherence_order(rays: Rays, bounds: jax.Array) -> jax.Array:
     """6D Morton sort key (origin cell, high bits | direction cell): groups
-    incoherent bounce rays so the kernel's tile-level culling bites —
-    measured 2.1x on fully random rays at 244k tris.  The reference gets
-    this for free from SIMT per-ray traversal; a lockstep tile machine has
-    to create the coherence."""
+    incoherent bounce rays so tile-level culling bites — measured 2.1x on
+    fully random rays at 244k tris.  Inactive rays sort to the END of the
+    wavefront, so trailing tiles have empty visit lists and cost nothing
+    (wavefront compaction; the reference instead flags-and-skips dead lanes,
+    ``kernel_data.h:419-440``)."""
     lo, hi = bounds[0], bounds[1]
     p01 = (rays.o - lo) / jnp.maximum(hi - lo, 1e-12)
     q = jnp.clip((p01 * 64.0).astype(jnp.int32), 0, 63)
     dq = jnp.clip(((rays.d * 0.5 + 0.5) * 8.0).astype(jnp.int32), 0, 7)
     code = (_expand10(q[:, 0]) << 2) | (_expand10(q[:, 1]) << 1) | _expand10(q[:, 2])
     dcode = (_expand10(dq[:, 0]) << 2) | (_expand10(dq[:, 1]) << 1) | _expand10(dq[:, 2])
-    return jnp.argsort((code << 9) | dcode).astype(jnp.int32)
+    key = ((code << 9) | dcode) >> 2  # top bits reserved for the dead flag
+    key = jnp.where(rays.active, key, jnp.uint32(0xFFFFFFFF))
+    return jnp.argsort(key).astype(jnp.int32)
 
 
 def _pack_rays(rays: Rays) -> jax.Array:
@@ -289,141 +292,211 @@ def _mt_block(rows, ox, oy, oz, dx, dy, dz, tmn, tmx, best_t):
     return t, u, v, hit
 
 
-def _slab_block(a6, ox, oy, oz, ix, iy, iz, tmn, tmx):
-    """(1, T) slab test of the ray tile against one block AABB (scalars)."""
-    tx0, tx1 = (a6[0] - ox) * ix, (a6[3] - ox) * ix
-    ty0, ty1 = (a6[1] - oy) * iy, (a6[4] - oy) * iy
-    tz0, tz1 = (a6[2] - oz) * iz, (a6[5] - oz) * iz
-    tn = jnp.maximum(
-        jnp.maximum(jnp.minimum(tx0, tx1), jnp.minimum(ty0, ty1)),
-        jnp.maximum(jnp.minimum(tz0, tz1), tmn),
-    )
-    tf = jnp.minimum(
-        jnp.minimum(jnp.maximum(tx0, tx1), jnp.maximum(ty0, ty1)),
-        jnp.minimum(jnp.maximum(tz0, tz1), tmx),
-    )
-    return tn, tf
+# --------------------------------------------------------------------------
+# Phase 1: per-tile block cull -> sort keys (entry distance or +BIG)
+# --------------------------------------------------------------------------
 
 
-def _intersect_kernel(rays_ref, tri_ref, aabb_ref, saabb_ref,
-                      t_ref, slot_ref, u_ref, v_ref):
-    c = pl.program_id(1)
-
-    @pl.when(c == 0)
-    def _():
-        t_ref[:] = jnp.full((1, TILE), BIG, jnp.float32)
-        slot_ref[:] = jnp.full((1, TILE), -1, jnp.int32)
-        u_ref[:] = jnp.zeros((1, TILE), jnp.float32)
-        v_ref[:] = jnp.zeros((1, TILE), jnp.float32)
-
+def _cull_kernel(rays_ref, aabb_ref, key_ref):
     rt = rays_ref[:]
     ox, oy, oz, dx, dy, dz, ix, iy, iz, tmn, tmx = _ray_rows(rt)
+    any_live = jnp.max(rt[7:8]) > 0.0
+    nbpad = aabb_ref.shape[0]
+
+    def chunk(c, _):
+        a = aabb_ref[pl.ds(c * 128, 128), :]  # (128, 8)
+        lox, loy, loz = a[:, 0:1], a[:, 1:2], a[:, 2:3]
+        hix, hiy, hiz = a[:, 3:4], a[:, 4:5], a[:, 5:6]
+        tx0, tx1 = (lox - ox) * ix, (hix - ox) * ix
+        ty0, ty1 = (loy - oy) * iy, (hiy - oy) * iy
+        tz0, tz1 = (loz - oz) * iz, (hiz - oz) * iz
+        tn = jnp.maximum(
+            jnp.maximum(jnp.minimum(tx0, tx1), jnp.minimum(ty0, ty1)),
+            jnp.maximum(jnp.minimum(tz0, tz1), tmn),
+        )
+        tf = jnp.minimum(
+            jnp.minimum(jnp.maximum(tx0, tx1), jnp.maximum(ty0, ty1)),
+            jnp.minimum(jnp.maximum(tz0, tz1), tmx),
+        )
+        enter = tn <= tf  # (128, T); NaN rows compare false everywhere
+        tkey = jnp.min(jnp.where(enter, tn, BIG), axis=1, keepdims=True)
+        # the 8-row broadcast sidesteps dynamic-sublane stores; the wrapper
+        # reads row 0 of each tile's 8-row group
+        key_ref[:, pl.ds(c * 128, 128)] = jnp.broadcast_to(
+            tkey.reshape(1, 128), (8, 128)
+        )
+        return 0
+
+    @pl.when(any_live)
+    def _():
+        jax.lax.fori_loop(0, nbpad // 128, chunk, 0, unroll=True)
+
+    @pl.when(jnp.logical_not(any_live))
+    def _():
+        key_ref[:] = jnp.full((8, nbpad), BIG, jnp.float32)
+
+
+def _cull(rays_packed: jax.Array, aabb: jax.Array,
+          interpret: bool) -> jax.Array:
+    npad = rays_packed.shape[1]
+    n_tiles = npad // TILE
+    nbpad = aabb.shape[0]
+    return pl.pallas_call(
+        _cull_kernel,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((8, TILE), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((nbpad, 8), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((8, nbpad), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_tiles * 8, nbpad), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=96 * 2**20,
+        ),
+        interpret=interpret,
+    )(rays_packed, aabb)
+
+
+def _visit_lists(rays_packed: jax.Array, aabb: jax.Array, interpret: bool):
+    """Front-to-back visit lists: (counts (n_tiles,), lists (n_tiles, NBpad),
+    tn_sorted (n_tiles, NBpad))."""
+    key = _cull(rays_packed, aabb, interpret)
+    key = key[::8]  # one row per tile (the kernel writes 8 duplicates)
+    nbpad = key.shape[1]
+    ids = jnp.broadcast_to(
+        jnp.arange(nbpad, dtype=jnp.int32)[None, :], key.shape
+    )
+    tn_sorted, lists = jax.lax.sort((key, ids), dimension=1, num_keys=1)
+    counts = jnp.sum(key < 0.5 * BIG, axis=1, dtype=jnp.int32)
+    return counts, lists, tn_sorted
+
+
+# --------------------------------------------------------------------------
+# Phase 2: list-driven traversal (closest / any hit)
+# --------------------------------------------------------------------------
+
+
+def _closest_kernel(count_ref, rays_ref, list_ref, tn_ref, tri_hbm,
+                    t_ref, slot_ref, scratch, sems):
+    i = pl.program_id(0)
+    row = i % 8
+    cnt = count_ref[i]
+    rt = rays_ref[:]
+    ox, oy, oz, dx, dy, dz, _, _, _, tmn, tmx = _ray_rows(rt)
     sub = jax.lax.broadcasted_iota(jnp.int32, (BLOCK, TILE), 0)
+    nbpad = list_ref.shape[1]
 
-    def slab_enter(table_ref, row, tmax_eff):
-        a6 = [table_ref[row, i] for i in range(6)]
-        tn, tf = _slab_block(a6, ox, oy, oz, ix, iy, iz, tmn, tmax_eff)
-        return jnp.any(tn <= tf)
+    t_ref[:] = jnp.full((1, TILE), BIG, jnp.float32)
+    slot_ref[:] = jnp.full((1, TILE), -1, jnp.int32)
 
-    def visit_block(b, carry):
-        best_t = carry[0]
-        g = c * CHUNK_BLOCKS + b  # global block id (for slot numbering)
-        enter = slab_enter(aabb_ref, b, jnp.minimum(tmx, best_t))
+    def get_dma(slot, k):
+        b = list_ref[row, k]
+        start = pl.multiple_of(b * BLOCK, BLOCK)
+        return pltpu.make_async_copy(
+            tri_hbm.at[:, pl.ds(start, BLOCK)],
+            scratch.at[slot],
+            sems.at[slot],
+        )
 
-        def run(cy):
-            bt, bs, bu, bv = cy
-            rows = tri_ref[pl.ds(b * BLOCK, BLOCK), :]  # (BLOCK, 9)
-            t, u, v, hit = _mt_block(rows, ox, oy, oz, dx, dy, dz,
-                                     tmn, tmx, bt)
+    @pl.when(cnt > 0)
+    def _():
+        get_dma(0, 0).start()
+
+        def cond(state):
+            k, best_t, _ = state
+            # exit when the next block opens beyond every live ray's best
+            # hit (dead rays carry best_t=-BIG via the tmx clamp)
+            t_exit = jnp.max(jnp.minimum(best_t, tmx))
+            kk = jnp.minimum(k, nbpad - 1)
+            return (k < cnt) & (tn_ref[row, kk] <= t_exit)
+
+        def body(state):
+            k, best_t, best_slot = state
+
+            @pl.when(k + 1 < cnt)
+            def _():
+                get_dma((k + 1) % 2, k + 1).start()
+
+            get_dma(k % 2, k).wait()
+            rows = scratch[k % 2, 0:9].T  # (BLOCK, 9)
+            b = list_ref[row, k]
+
+            t, _, _, hit = _mt_block(rows, ox, oy, oz, dx, dy, dz,
+                                     tmn, tmx, best_t)
             tm = jnp.where(hit, t, BIG)
             tnew = jnp.min(tm, axis=0, keepdims=True)  # (1, T)
-            better = tnew < bt
             j = jnp.argmin(tm, axis=0)[None, :].astype(jnp.int32)
-            onehot = sub == j
-            pick = lambda x: jnp.sum(jnp.where(onehot, x, 0.0), axis=0,
-                                     keepdims=True)
-            bs = jnp.where(better, g * BLOCK + j, bs)
-            bu = jnp.where(better, pick(u), bu)
-            bv = jnp.where(better, pick(v), bv)
-            bt = jnp.where(better, tnew, bt)
-            return bt, bs, bu, bv
+            better = tnew < best_t
+            best_slot = jnp.where(better, b * BLOCK + j, best_slot)
+            best_t = jnp.where(better, tnew, best_t)
+            return k + 1, best_t, best_slot
 
-        return jax.lax.cond(enter, run, lambda cy: cy, carry)
-
-    def visit_super(sidx, carry):
-        enter = slab_enter(saabb_ref, sidx, jnp.minimum(tmx, carry[0]))
-        return jax.lax.cond(
-            enter,
-            lambda cy: jax.lax.fori_loop(
-                sidx * SUPER, (sidx + 1) * SUPER, visit_block, cy
-            ),
-            lambda cy: cy,
-            carry,
+        k, bt, bs = jax.lax.while_loop(
+            cond, body, (jnp.int32(0), t_ref[:], slot_ref[:])
         )
+        t_ref[:] = bt
+        slot_ref[:] = bs
 
-    init = (t_ref[:], slot_ref[:], u_ref[:], v_ref[:])
-    best_t, best_slot, best_u, best_v = jax.lax.fori_loop(
-        0, CHUNK_SUPERS, visit_super, init
-    )
-    t_ref[:] = best_t
-    slot_ref[:] = best_slot
-    u_ref[:] = best_u
-    v_ref[:] = best_v
+        # drain the in-flight prefetch if the loop exited early
+        @pl.when(k < cnt)
+        def _():
+            get_dma(k % 2, k).wait()
 
 
-def _occluded_kernel(rays_ref, tri_ref, aabb_ref, saabb_ref, out_ref):
-    c = pl.program_id(1)
-
-    @pl.when(c == 0)
-    def _():
-        out_ref[:] = jnp.zeros((1, TILE), jnp.float32)
-
+def _occluded_kernel(count_ref, rays_ref, list_ref, tri_hbm,
+                     out_ref, scratch, sems):
+    i = pl.program_id(0)
+    row = i % 8
+    cnt = count_ref[i]
     rt = rays_ref[:]
-    ox, oy, oz, dx, dy, dz, ix, iy, iz, tmn, tmx = _ray_rows(rt)
+    ox, oy, oz, dx, dy, dz, _, _, _, tmn, tmx = _ray_rows(rt)
     live0 = tmx > tmn  # inactive rays encoded with tmax=-BIG
-    # blocked is carried as f32 0/1: i1 vectors carried across cond/while
-    # boundaries hit Mosaic mask-layout mismatches (observed on v5e)
+    # blocked carried as f32 0/1: i1 vectors across while boundaries hit
+    # Mosaic mask-layout mismatches (observed on v5e)
+    out_ref[:] = jnp.zeros((1, TILE), jnp.float32)
 
-    def slab_enter(table_ref, row, open_t):
-        a6 = [table_ref[row, i] for i in range(6)]
-        tn, tf = _slab_block(a6, ox, oy, oz, ix, iy, iz, tmn, open_t)
-        return jnp.any(tn <= tf)
-
-    def visit_block(b, blocked):
-        open_t = jnp.where(blocked > 0.0, -BIG, tmx)  # blocked lanes: no-op
-        enter = slab_enter(aabb_ref, b, open_t)
-
-        def run(blk):
-            rows = tri_ref[pl.ds(b * BLOCK, BLOCK), :]
-            _, _, _, hit = _mt_block(rows, ox, oy, oz, dx, dy, dz, tmn, tmx,
-                                     jnp.where(blk > 0.0, -BIG, BIG))
-            any_hit = jnp.max(hit.astype(jnp.float32), axis=0, keepdims=True)
-            return jnp.maximum(blk, any_hit)
-
-        return jax.lax.cond(enter, run, lambda x: x, blocked)
-
-    def cond(state):
-        sidx, blocked = state
-        return (sidx < CHUNK_SUPERS) & jnp.any(live0 & (blocked == 0.0))
-
-    def body(state):
-        sidx, blocked = state
-        open_t = jnp.where(blocked > 0.0, -BIG, tmx)
-        enter = slab_enter(saabb_ref, sidx, open_t)
-        blocked = jax.lax.cond(
-            enter,
-            lambda blk: jax.lax.fori_loop(
-                sidx * SUPER, (sidx + 1) * SUPER, visit_block, blk
-            ),
-            lambda blk: blk,
-            blocked,
+    def get_dma(slot, k):
+        b = list_ref[row, k]
+        start = pl.multiple_of(b * BLOCK, BLOCK)
+        return pltpu.make_async_copy(
+            tri_hbm.at[:, pl.ds(start, BLOCK)],
+            scratch.at[slot],
+            sems.at[slot],
         )
-        return sidx + 1, blocked
 
-    _, blocked = jax.lax.while_loop(
-        cond, body, (jnp.int32(0), out_ref[:])
-    )
-    out_ref[:] = blocked
+    @pl.when(cnt > 0)
+    def _():
+        get_dma(0, 0).start()
+
+        def cond(state):
+            k, blocked = state
+            return (k < cnt) & jnp.any(live0 & (blocked == 0.0))
+
+        def body(state):
+            k, blocked = state
+
+            @pl.when(k + 1 < cnt)
+            def _():
+                get_dma((k + 1) % 2, k + 1).start()
+
+            get_dma(k % 2, k).wait()
+            rows = scratch[k % 2, 0:9].T
+
+            _, _, _, hit = _mt_block(rows, ox, oy, oz, dx, dy, dz, tmn, tmx,
+                                     jnp.where(blocked > 0.0, -BIG, BIG))
+            any_hit = jnp.max(hit.astype(jnp.float32), axis=0, keepdims=True)
+            return k + 1, jnp.maximum(blocked, any_hit)
+
+        k, blocked = jax.lax.while_loop(
+            cond, body, (jnp.int32(0), out_ref[:])
+        )
+        out_ref[:] = blocked
+
+        @pl.when(k < cnt)
+        def _():
+            get_dma(k % 2, k).wait()
 
 
 def _interpret() -> bool:
@@ -435,89 +508,128 @@ def _interpret() -> bool:
         return True
 
 
-_COMPILER_PARAMS = dict(
-    dimension_semantics=("arbitrary", "arbitrary"),
-    vmem_limit_bytes=64 * 2**20,
-)
-
-
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
-def _query_closest(rays_packed, tri, aabb, saabb, num_blocks):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _query_closest(rays_packed, tri, aabb, num_blocks):
+    interpret = _interpret()
+    counts, lists, tn_sorted = _visit_lists(rays_packed, aabb, interpret)
     npad = rays_packed.shape[1]
-    grid = (npad // TILE, tri.shape[0] // CHUNK)
-    t, slot, u, v = pl.pallas_call(
-        _intersect_kernel,
-        grid=grid,
+    n_tiles = npad // TILE
+    nbpad = lists.shape[1]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_tiles,),
         in_specs=[
             pl.BlockSpec((8, TILE), lambda i, c: (0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((CHUNK, 9), lambda i, c: (c, 0),
-                         memory_space=pltpu.VMEM),
-            # per-chunk SMEM windows: SMEM rows pad to 512 B each, so whole
-            # tables would cap the scene at ~2000 blocks (1 MiB SMEM)
-            pl.BlockSpec((CHUNK_BLOCKS, 8), lambda i, c: (c, 0),
+            pl.BlockSpec((8, nbpad), lambda i, c: (i // 8, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((CHUNK_SUPERS, 8), lambda i, c: (c, 0),
+            pl.BlockSpec((8, nbpad), lambda i, c: (i // 8, 0),
                          memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=[
             pl.BlockSpec((1, TILE), lambda i, c: (0, i),
-                         memory_space=pltpu.VMEM)
-        ] * 4,
+                         memory_space=pltpu.VMEM),
+        ] * 2,
+        scratch_shapes=[
+            pltpu.VMEM((2, 16, BLOCK), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    # pad list rows to a multiple of 8 for the (8, nbpad) grouped blocks
+    rows8 = -(-n_tiles // 8) * 8
+    if rows8 != n_tiles:
+        lists = jnp.pad(lists, ((0, rows8 - n_tiles), (0, 0)))
+        tn_sorted = jnp.pad(tn_sorted, ((0, rows8 - n_tiles), (0, 0)))
+    t, slot = pl.pallas_call(
+        _closest_kernel,
+        grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((1, npad), jnp.float32),
             jax.ShapeDtypeStruct((1, npad), jnp.int32),
-            jax.ShapeDtypeStruct((1, npad), jnp.float32),
-            jax.ShapeDtypeStruct((1, npad), jnp.float32),
         ],
-        compiler_params=pltpu.CompilerParams(**_COMPILER_PARAMS),
-        interpret=_interpret(),
-    )(rays_packed, tri, aabb, saabb)
-    return t, slot, u, v
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=96 * 2**20,
+        ),
+        interpret=interpret,
+    )(counts, rays_packed, lists, tn_sorted, tri)
+    return t, slot
 
 
-def _query_closest_fwd(rays_packed, tri, aabb, saabb, num_blocks):
-    return _query_closest(rays_packed, tri, aabb, saabb, num_blocks), None
+def _query_closest_fwd(rays_packed, tri, aabb, num_blocks):
+    return _query_closest(rays_packed, tri, aabb, num_blocks), None
 
 
 def _query_closest_bwd(num_blocks, _res, _ct):
     # hits are discrete events: zero cotangents into rays/geometry
-    return None, None, None, None
+    return None, None, None
 
 
 _query_closest.defvjp(_query_closest_fwd, _query_closest_bwd)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
-def _query_any(rays_packed, tri, aabb, saabb, num_blocks):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _query_any(rays_packed, tri, aabb, num_blocks):
+    interpret = _interpret()
+    counts, lists, _ = _visit_lists(rays_packed, aabb, interpret)
     npad = rays_packed.shape[1]
-    grid = (npad // TILE, tri.shape[0] // CHUNK)
-    out = pl.pallas_call(
-        _occluded_kernel,
-        grid=grid,
+    n_tiles = npad // TILE
+    nbpad = lists.shape[1]
+    rows8 = -(-n_tiles // 8) * 8
+    if rows8 != n_tiles:
+        lists = jnp.pad(lists, ((0, rows8 - n_tiles), (0, 0)))
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_tiles,),
         in_specs=[
             pl.BlockSpec((8, TILE), lambda i, c: (0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((CHUNK, 9), lambda i, c: (c, 0),
-                         memory_space=pltpu.VMEM),
-            # per-chunk SMEM windows: SMEM rows pad to 512 B each, so whole
-            # tables would cap the scene at ~2000 blocks (1 MiB SMEM)
-            pl.BlockSpec((CHUNK_BLOCKS, 8), lambda i, c: (c, 0),
+            pl.BlockSpec((8, nbpad), lambda i, c: (i // 8, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((CHUNK_SUPERS, 8), lambda i, c: (c, 0),
-                         memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec((1, TILE), lambda i, c: (0, i),
                                memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((2, 16, BLOCK), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    out = pl.pallas_call(
+        _occluded_kernel,
+        grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((1, npad), jnp.float32),
-        compiler_params=pltpu.CompilerParams(**_COMPILER_PARAMS),
-        interpret=_interpret(),
-    )(rays_packed, tri, aabb, saabb)
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=96 * 2**20,
+        ),
+        interpret=interpret,
+    )(counts, rays_packed, lists, tri)
     return out
 
 
-_query_any.defvjp(lambda r, t, a, sa, n: (_query_any(r, t, a, sa, n), None),
-                  lambda n, res, ct: (None, None, None, None))
+_query_any.defvjp(lambda r, t, a, n: (_query_any(r, t, a, n), None),
+                  lambda n, res, ct: (None, None, None))
+
+
+def _resolve_uv(tri: jax.Array, slot: jax.Array, rays: Rays):
+    """Recompute barycentrics for each ray's winning slot (one triangle per
+    ray) with ordinary XLA gathers — the kernel only carries (t, slot)."""
+    s = jnp.maximum(slot, 0)
+    cols = jnp.take(tri, s, axis=1)  # (16, N)
+    p0 = cols[0:3].T
+    e1 = cols[3:6].T
+    e2 = cols[6:9].T
+    d = rays.d
+    pv = jnp.cross(d, e2)
+    det = jnp.sum(e1 * pv, axis=1)
+    inv = jnp.where(jnp.abs(det) > 1e-12, 1.0 / jnp.where(det == 0, 1.0, det), 0.0)
+    tv = rays.o - p0
+    u = jnp.sum(tv * pv, axis=1) * inv
+    qv = jnp.cross(tv, e1)
+    v = jnp.sum(d * qv, axis=1) * inv
+    return jnp.clip(u, 0.0, 1.0), jnp.clip(v, 0.0, 1.0)
 
 
 def intersect_blocked(geom: Geometry, accel: BlockedAccel, rays: Rays,
@@ -531,8 +643,7 @@ def intersect_blocked(geom: Geometry, accel: BlockedAccel, rays: Rays,
     else:
         rays_q = rays
     packed = _pack_rays(rays_q)
-    t, slot, u, v = _query_closest(packed, accel.tri, accel.aabb,
-                                   accel.saabb, accel.num_blocks)
+    t, slot = _query_closest(packed, accel.tri, accel.aabb, accel.num_blocks)
     if sort:
         inv = jnp.zeros((n,), jnp.int32).at[order].set(
             jnp.arange(n, dtype=jnp.int32)
@@ -540,8 +651,11 @@ def intersect_blocked(geom: Geometry, accel: BlockedAccel, rays: Rays,
         flat = lambda a: jnp.take(a.reshape(-1)[:n], inv, axis=0)
     else:
         flat = lambda a: a.reshape(-1)[:n]
-    t, slot, u, v = flat(t), flat(slot), flat(u), flat(v)
+    t, slot = flat(t), flat(slot)
     found = slot >= 0
+    u, v = _resolve_uv(accel.tri, slot, rays)
+    u = jnp.where(found, u, 0.0)
+    v = jnp.where(found, v, 0.0)
     prim = jnp.where(
         found, jnp.take(accel.slot_prim, jnp.maximum(slot, 0), axis=0), -1
     )
@@ -571,8 +685,7 @@ def occluded_blocked(geom: Geometry, accel: BlockedAccel,
     else:
         rays_q = rays
     packed = _pack_rays(rays_q)
-    out = _query_any(packed, accel.tri, accel.aabb, accel.saabb,
-                     accel.num_blocks)
+    out = _query_any(packed, accel.tri, accel.aabb, accel.num_blocks)
     blocked = out.reshape(-1)[:n] > 0.0
     if sort:
         inv = jnp.zeros((n,), jnp.int32).at[order].set(

@@ -83,7 +83,7 @@ class BVHConfig:
     """BVH knobs — analogue of ``IntersectionAPISettings``
     (``PathTracingSettings.h:157-255``)."""
 
-    builder: BuilderType = BuilderType.LBVH
+    builder: BuilderType = BuilderType.SAH
     # LBVH morton grid resolution bits per axis
     morton_bits: int = 10
     # SAH builder knobs (host builder, quality option)
