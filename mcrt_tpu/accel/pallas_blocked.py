@@ -64,8 +64,13 @@ from ..config import BuilderType, BVHConfig
 from ..core.types import Hit, Rays
 from ..scene.scene import Geometry
 
+import os as _os
+
 BLOCK = 128  # triangles per block == DMA lane alignment (hard constraint)
-TILE = 1024  # rays per grid step (lane axis; 8 lane-rows of 128)
+# rays per grid step (lane axis) and list entries per loop iteration —
+# env-overridable for on-chip tuning sweeps
+TILE = int(_os.environ.get("MCRT_TILE", "128"))
+GROUP = int(_os.environ.get("MCRT_GROUP", "4"))
 F32_MAX = float(jnp.finfo(jnp.float32).max)
 BIG = 3.0e38  # python float: jnp scalars would be captured consts in kernels
 
@@ -144,7 +149,16 @@ def build_blocked(geom: Geometry,
 
     if sah is not None:
         order, bstart = sah
-        # scatter each SAH leaf into its own fixed 128-slot block
+        # greedily merge consecutive SAH leaves into fuller 128-slot blocks:
+        # since SAH order is spatial, unions of adjacent leaves stay tight —
+        # fewer blocks means cheaper cull, shorter lists, denser MT tests
+        merged = [0]
+        for b in range(len(bstart) - 1):
+            if bstart[b + 1] - merged[-1] > BLOCK:
+                merged.append(bstart[b])
+        merged.append(bstart[-1])
+        bstart = np.asarray(merged)
+        # scatter each (merged) leaf into its own fixed 128-slot block
         n_real_blocks = len(bstart) - 1
         slots = np.full((n_real_blocks * BLOCK,), -1, np.int64)
         for b in range(n_real_blocks):
@@ -243,14 +257,20 @@ def _coherence_order(rays: Rays, bounds: jax.Array) -> jax.Array:
     return jnp.argsort(key).astype(jnp.int32)
 
 
-def _pack_rays(rays: Rays) -> jax.Array:
+def _pack_rays(rays: Rays, anyhit: jax.Array | None = None) -> jax.Array:
     """(8, Npad) transposed ray table: rows o.xyz, d.xyz, tmin, tmax — rays
-    on lanes.  Inactive rays get tmax=-BIG so every test fails."""
+    on lanes.  Inactive rays get tmax=-BIG so every test fails.  Lanes
+    flagged ``anyhit`` carry tmin encoded as -(tmin+1): the closest kernel
+    terminates them on their FIRST accepted hit (occlusion semantics inside
+    a closest-hit wavefront — fused shadow rays)."""
     n = rays.n
     npad = -(-n // TILE) * TILE
     tmax = jnp.where(rays.active, jnp.minimum(rays.tmax, BIG), -BIG)
+    tmin = rays.tmin
+    if anyhit is not None:
+        tmin = jnp.where(anyhit, -(tmin + 1.0), tmin)
     packed = jnp.concatenate(
-        [rays.o, rays.d, rays.tmin[:, None], tmax[:, None]], axis=1
+        [rays.o, rays.d, tmin[:, None], tmax[:, None]], axis=1
     ).T  # (8, N)
     if npad != n:
         pad = jnp.zeros((8, npad - n), jnp.float32).at[7].set(-BIG)
@@ -261,9 +281,12 @@ def _pack_rays(rays: Rays) -> jax.Array:
 def _ray_rows(rt):
     ox, oy, oz = rt[0:1], rt[1:2], rt[2:3]  # (1, T)
     dx, dy, dz = rt[3:4], rt[4:5], rt[5:6]
-    tmn, tmx = rt[6:7], rt[7:8]
+    tmn_raw, tmx = rt[6:7], rt[7:8]
+    anyh = tmn_raw < -0.5  # sign-encoded any-hit flag (see _pack_rays)
+    tmn = jnp.where(anyh, -(tmn_raw + 1.0), tmn_raw)
     sd = lambda c: jnp.where(jnp.abs(c) > 1e-12, c, 1e-12)
-    return ox, oy, oz, dx, dy, dz, 1.0 / sd(dx), 1.0 / sd(dy), 1.0 / sd(dz), tmn, tmx
+    return (ox, oy, oz, dx, dy, dz,
+            1.0 / sd(dx), 1.0 / sd(dy), 1.0 / sd(dz), tmn, tmx, anyh)
 
 
 def _mt_block(rows, ox, oy, oz, dx, dy, dz, tmn, tmx, best_t):
@@ -299,7 +322,7 @@ def _mt_block(rows, ox, oy, oz, dx, dy, dz, tmn, tmx, best_t):
 
 def _cull_kernel(rays_ref, aabb_ref, key_ref):
     rt = rays_ref[:]
-    ox, oy, oz, dx, dy, dz, ix, iy, iz, tmn, tmx = _ray_rows(rt)
+    ox, oy, oz, dx, dy, dz, ix, iy, iz, tmn, tmx, _ = _ray_rows(rt)
     any_live = jnp.max(rt[7:8]) > 0.0
     nbpad = aabb_ref.shape[0]
 
@@ -378,59 +401,96 @@ def _visit_lists(rays_packed: jax.Array, aabb: jax.Array, interpret: bool):
 # --------------------------------------------------------------------------
 
 
+def _group_helpers(row, list_ref, tri_hbm, scratch, sems):
+    """G-batched DMA machinery: each loop iteration stages GROUP consecutive
+    list entries into one scratch slot (GROUP parallel DMAs) and tests them
+    as a single (GROUP*BLOCK, T) dense matrix — amortizing the per-iteration
+    scalar/branch/transpose cost over GROUP blocks."""
+    nbpad = list_ref.shape[1]
+    # a partial final group reads entries past cnt: those are non-entered
+    # block ids that may exceed the REAL tri-table block count (nbpad pads
+    # to 128) — clamp to the table so the DMA never reads out of bounds.
+    # Testing a duplicate real block is redundant but harmless.
+    nt_blocks = tri_hbm.shape[1] // BLOCK
+
+    def entry(k, g):
+        b = list_ref[row, jnp.minimum(k * GROUP + g, nbpad - 1)]
+        return jnp.minimum(b, nt_blocks - 1)
+
+    def get_dma(slot, k, g):
+        b = entry(k, g)
+        start = pl.multiple_of(b * BLOCK, BLOCK)
+        return pltpu.make_async_copy(
+            tri_hbm.at[:, pl.ds(start, BLOCK)],
+            scratch.at[slot, :, pl.ds(g * BLOCK, BLOCK)],
+            sems.at[slot, g],
+        )
+
+    def start_group(slot, k):
+        for g in range(GROUP):
+            get_dma(slot, k, g).start()
+
+    def wait_group(slot, k):
+        for g in range(GROUP):
+            get_dma(slot, k, g).wait()
+
+    return entry, start_group, wait_group
+
+
 def _closest_kernel(count_ref, rays_ref, list_ref, tn_ref, tri_hbm,
                     t_ref, slot_ref, scratch, sems):
     i = pl.program_id(0)
     row = i % 8
     cnt = count_ref[i]
     rt = rays_ref[:]
-    ox, oy, oz, dx, dy, dz, _, _, _, tmn, tmx = _ray_rows(rt)
-    sub = jax.lax.broadcasted_iota(jnp.int32, (BLOCK, TILE), 0)
+    ox, oy, oz, dx, dy, dz, _, _, _, tmn, tmx, anyh = _ray_rows(rt)
     nbpad = list_ref.shape[1]
+    entry, start_group, wait_group = _group_helpers(
+        row, list_ref, tri_hbm, scratch, sems
+    )
+    groups = (cnt + GROUP - 1) // GROUP
 
     t_ref[:] = jnp.full((1, TILE), BIG, jnp.float32)
     slot_ref[:] = jnp.full((1, TILE), -1, jnp.int32)
 
-    def get_dma(slot, k):
-        b = list_ref[row, k]
-        start = pl.multiple_of(b * BLOCK, BLOCK)
-        return pltpu.make_async_copy(
-            tri_hbm.at[:, pl.ds(start, BLOCK)],
-            scratch.at[slot],
-            sems.at[slot],
-        )
-
     @pl.when(cnt > 0)
     def _():
-        get_dma(0, 0).start()
+        start_group(0, 0)
 
         def cond(state):
             k, best_t, _ = state
-            # exit when the next block opens beyond every live ray's best
-            # hit (dead rays carry best_t=-BIG via the tmx clamp)
+            # exit when the group's nearest block opens beyond every live
+            # ray's best hit (dead rays carry best_t=-BIG via the tmx clamp)
             t_exit = jnp.max(jnp.minimum(best_t, tmx))
-            kk = jnp.minimum(k, nbpad - 1)
-            return (k < cnt) & (tn_ref[row, kk] <= t_exit)
+            kk = jnp.minimum(k * GROUP, nbpad - 1)
+            return (k < groups) & (tn_ref[row, kk] <= t_exit)
 
         def body(state):
             k, best_t, best_slot = state
 
-            @pl.when(k + 1 < cnt)
+            @pl.when(k + 1 < groups)
             def _():
-                get_dma((k + 1) % 2, k + 1).start()
+                start_group((k + 1) % 2, k + 1)
 
-            get_dma(k % 2, k).wait()
-            rows = scratch[k % 2, 0:9].T  # (BLOCK, 9)
-            b = list_ref[row, k]
+            wait_group(k % 2, k)
+            rows = scratch[k % 2, 0:9].T  # (GROUP*BLOCK, 9)
 
             t, _, _, hit = _mt_block(rows, ox, oy, oz, dx, dy, dz,
                                      tmn, tmx, best_t)
             tm = jnp.where(hit, t, BIG)
             tnew = jnp.min(tm, axis=0, keepdims=True)  # (1, T)
             j = jnp.argmin(tm, axis=0)[None, :].astype(jnp.int32)
+            # resolve the winning row's block id from the group's entries
+            base = entry(k, GROUP - 1)
+            for g in reversed(range(GROUP - 1)):
+                base = jnp.where(j < (g + 1) * BLOCK, entry(k, g), base)
             better = tnew < best_t
-            best_slot = jnp.where(better, b * BLOCK + j, best_slot)
+            best_slot = jnp.where(better, base * BLOCK + (j & (BLOCK - 1)),
+                                  best_slot)
             best_t = jnp.where(better, tnew, best_t)
+            # any-hit lanes terminate on their first accepted hit: dropping
+            # best_t to -BIG stops their culling contribution and testing
+            best_t = jnp.where(anyh & (best_slot >= 0), -BIG, best_t)
             return k + 1, best_t, best_slot
 
         k, bt, bs = jax.lax.while_loop(
@@ -440,9 +500,9 @@ def _closest_kernel(count_ref, rays_ref, list_ref, tn_ref, tri_hbm,
         slot_ref[:] = bs
 
         # drain the in-flight prefetch if the loop exited early
-        @pl.when(k < cnt)
+        @pl.when(k < groups)
         def _():
-            get_dma(k % 2, k).wait()
+            wait_group(k % 2, k)
 
 
 def _occluded_kernel(count_ref, rays_ref, list_ref, tri_hbm,
@@ -451,37 +511,32 @@ def _occluded_kernel(count_ref, rays_ref, list_ref, tri_hbm,
     row = i % 8
     cnt = count_ref[i]
     rt = rays_ref[:]
-    ox, oy, oz, dx, dy, dz, _, _, _, tmn, tmx = _ray_rows(rt)
+    ox, oy, oz, dx, dy, dz, _, _, _, tmn, tmx, _ = _ray_rows(rt)
     live0 = tmx > tmn  # inactive rays encoded with tmax=-BIG
     # blocked carried as f32 0/1: i1 vectors across while boundaries hit
     # Mosaic mask-layout mismatches (observed on v5e)
     out_ref[:] = jnp.zeros((1, TILE), jnp.float32)
-
-    def get_dma(slot, k):
-        b = list_ref[row, k]
-        start = pl.multiple_of(b * BLOCK, BLOCK)
-        return pltpu.make_async_copy(
-            tri_hbm.at[:, pl.ds(start, BLOCK)],
-            scratch.at[slot],
-            sems.at[slot],
-        )
+    _, start_group, wait_group = _group_helpers(
+        row, list_ref, tri_hbm, scratch, sems
+    )
+    groups = (cnt + GROUP - 1) // GROUP
 
     @pl.when(cnt > 0)
     def _():
-        get_dma(0, 0).start()
+        start_group(0, 0)
 
         def cond(state):
             k, blocked = state
-            return (k < cnt) & jnp.any(live0 & (blocked == 0.0))
+            return (k < groups) & jnp.any(live0 & (blocked == 0.0))
 
         def body(state):
             k, blocked = state
 
-            @pl.when(k + 1 < cnt)
+            @pl.when(k + 1 < groups)
             def _():
-                get_dma((k + 1) % 2, k + 1).start()
+                start_group((k + 1) % 2, k + 1)
 
-            get_dma(k % 2, k).wait()
+            wait_group(k % 2, k)
             rows = scratch[k % 2, 0:9].T
 
             _, _, _, hit = _mt_block(rows, ox, oy, oz, dx, dy, dz, tmn, tmx,
@@ -494,9 +549,9 @@ def _occluded_kernel(count_ref, rays_ref, list_ref, tri_hbm,
         )
         out_ref[:] = blocked
 
-        @pl.when(k < cnt)
+        @pl.when(k < groups)
         def _():
-            get_dma(k % 2, k).wait()
+            wait_group(k % 2, k)
 
 
 def _interpret() -> bool:
@@ -532,8 +587,8 @@ def _query_closest(rays_packed, tri, aabb, num_blocks):
                          memory_space=pltpu.VMEM),
         ] * 2,
         scratch_shapes=[
-            pltpu.VMEM((2, 16, BLOCK), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((2, 16, GROUP * BLOCK), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, GROUP)),
         ],
     )
     # pad list rows to a multiple of 8 for the (8, nbpad) grouped blocks
@@ -592,8 +647,8 @@ def _query_any(rays_packed, tri, aabb, num_blocks):
         out_specs=pl.BlockSpec((1, TILE), lambda i, c: (0, i),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((2, 16, BLOCK), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((2, 16, GROUP * BLOCK), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, GROUP)),
         ],
     )
     out = pl.pallas_call(
@@ -633,16 +688,22 @@ def _resolve_uv(tri: jax.Array, slot: jax.Array, rays: Rays):
 
 
 def intersect_blocked(geom: Geometry, accel: BlockedAccel, rays: Rays,
-                      sort: bool = True) -> Hit:
+                      sort: bool = True,
+                      anyhit: jax.Array | None = None) -> Hit:
     """Closest-hit query (``QueryIntersection`` analogue,
-    ``radeon_rays.h:267``)."""
+    ``radeon_rays.h:267``).  Lanes flagged ``anyhit`` terminate on their
+    first accepted hit (fused occlusion semantics): their returned ``t`` is
+    meaningless but ``valid`` still means "something blocks"."""
     n = rays.n
     if sort:
         order = _coherence_order(rays, accel.bounds)
         rays_q = jax.tree.map(lambda a: jnp.take(a, order, axis=0), rays)
+        anyhit_q = (None if anyhit is None
+                    else jnp.take(anyhit, order, axis=0))
     else:
         rays_q = rays
-    packed = _pack_rays(rays_q)
+        anyhit_q = anyhit
+    packed = _pack_rays(rays_q, anyhit_q)
     t, slot = _query_closest(packed, accel.tri, accel.aabb, accel.num_blocks)
     if sort:
         inv = jnp.zeros((n,), jnp.int32).at[order].set(
