@@ -1,12 +1,24 @@
-"""Benchmark harness: rays/sec/chip.
+"""Benchmark harness: rays/sec/chip + grad overhead + scaling efficiency.
 
-Prints ONE JSON line: {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}.
+Prints ONE JSON line to stdout:
+  {"metric": "rays/sec/chip", "value": N, "unit": "...", "vs_baseline": N,
+   "grad_overhead_ratio": N, "scaling_efficiency_8dev": N, "mfu_pct": N}
+Diagnostics (kernel-time breakdown, MFU accounting) go to stderr.
 
-The reference publishes no numbers (BASELINE.md) — this harness *establishes*
-the baseline.  Primary metric: rays/sec/chip on the standard scene at 8
-bounces (BASELINE config 3 analogue; until a Sponza-scale OBJ is available the
-scene is the canonical Cornell fixture / procedural stand-in selected by
-BENCH_SCENE).
+BASELINE config 3 analogue: `textured_hall` — checkerboard-textured +
+normal-mapped uber materials, point + directional lights, Sobol sampler,
+512x512 @ 8 bounces (the Crytek-Sponza assets do not exist in this
+environment; the stand-in exercises the same feature set).  The reference
+publishes no numbers (BASELINE.md); round 1 of this harness established
+the baseline at 389,698 rays/s/chip (bunny_field, the then-default scene),
+so `vs_baseline` compares against that figure.
+
+Secondary metrics (BASELINE.md):
+- grad-pass overhead: (forward+backward time) / (forward time) of the
+  differentiable render loss at 128x128.
+- scaling efficiency: rays/s on an 8-device CPU mesh vs 1 device (run in a
+  subprocess with JAX_PLATFORMS=cpu; relative scaling is meaningful even
+  off-TPU; real multi-chip hardware is not available here).
 
 Measurement notes (axon tunnel): per-dispatch latency ~30ms and slow
 device->host transfers, so we time M back-to-back dispatches of the jitted
@@ -20,11 +32,19 @@ from __future__ import annotations
 import functools
 import json
 import os
+import subprocess
+import sys
 import time
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+R01_BASELINE = 389698.0  # rays/s/chip established in round 1
+
+
+def log(msg: str):
+    print(msg, file=sys.stderr, flush=True)
 
 
 def count_rays_per_sample(scene, camera, cfg, intersector):
@@ -42,9 +62,8 @@ def _count_rays_traced(scene, camera, cfg, intersector):
     from mcrt_tpu.bsdf import uber
     from mcrt_tpu.bsdf.materials import fetch_bsdf
     from mcrt_tpu.core import math as m
-    from mcrt_tpu.core.types import Rays, Throughput
+    from mcrt_tpu.core.types import Rays
     from mcrt_tpu.camera.pinhole import pixel_uv
-    from mcrt_tpu.integrators import path as pi
     from mcrt_tpu.sampling import rng
     from mcrt_tpu.scene.interaction import compute_interaction, spawn_ray
 
@@ -78,32 +97,120 @@ def _count_rays_traced(scene, camera, cfg, intersector):
     return count
 
 
+def measure_grad_overhead(scene, camera):
+    """(forward+backward) / forward time of the render loss (BASELINE
+    metric 2), at a size small enough to keep bench runtime sane."""
+    from mcrt_tpu.accel import build_intersector
+    from mcrt_tpu.config import IntegratorConfig, RenderConfig
+    from mcrt_tpu.diff.estimators import material_params, render_loss_fn
+
+    cfg = RenderConfig(width=128, height=128, spp=2,
+                       integrator=IntegratorConfig(max_depth=3))
+    intersector = build_intersector(scene, cfg)
+    view = material_params()
+    loss = render_loss_fn(camera, cfg, intersector, view)
+    params = view.get(scene)
+    frames = jnp.arange(2, dtype=jnp.int32)
+    target = jnp.zeros((cfg.height * cfg.width, 3), jnp.float32)
+
+    fwd = jax.jit(lambda p: loss(p, scene, frames, target))
+    both = jax.jit(lambda p: jax.value_and_grad(loss)(p, scene, frames, target))
+
+    float(fwd(params))  # compile + sync
+    t0 = time.time()
+    for _ in range(3):
+        v = fwd(params)
+    _ = float(v)
+    t_fwd = (time.time() - t0) / 3
+
+    v, g = both(params)
+    _ = float(v)
+    t0 = time.time()
+    for _ in range(3):
+        v, g = both(params)
+    _ = float(v)
+    t_both = (time.time() - t0) / 3
+    log(f"grad overhead: fwd {t_fwd*1e3:.1f} ms, fwd+bwd {t_both*1e3:.1f} ms")
+    return t_both / t_fwd
+
+
+_SCALING_SNIPPET = r"""
+import json, os, time
+import jax, jax.numpy as jnp
+jax.config.update("jax_platforms", "cpu")
+from mcrt_tpu.config import IntegratorConfig, RenderConfig
+from mcrt_tpu.accel import build_intersector
+from mcrt_tpu.parallel.mesh import make_mesh
+from mcrt_tpu.parallel.render import render_spp_batch
+from mcrt_tpu.scene.builders import cornell_box
+
+# weak scaling: spp == n_dev, one sample per device -> ideal time is flat
+n_dev = int(os.environ["SCALE_NDEV"])
+scene, camera = cornell_box()
+cfg = RenderConfig(width=128, height=128, spp=n_dev,
+                   integrator=IntegratorConfig(max_depth=2))
+intersector = build_intersector(scene, cfg)
+mesh = make_mesh(n_spp=8) if n_dev > 1 else None
+frames = jnp.arange(n_dev, dtype=jnp.int32)
+fn = jax.jit(lambda s, f: jnp.sum(
+    render_spp_batch(s, camera, f, cfg, intersector, mesh)))
+float(fn(scene, frames))
+t0 = time.time()
+for i in range(4):
+    acc = fn(scene, frames + n_dev * i)
+_ = float(acc)
+print(json.dumps({"n_dev": n_dev, "dt": (time.time() - t0) / 4}))
+"""
+
+
+def measure_scaling() -> float:
+    """1 -> 8 virtual-CPU-device scaling efficiency of the spp-sharded
+    renderer (relative rays/s; BASELINE metric 3 without a pod)."""
+    results = {}
+    for n_dev in (1, 8):
+        env = dict(os.environ)
+        env.update({
+            "JAX_PLATFORMS": "cpu",
+            "XLA_FLAGS": (env.get("XLA_FLAGS", "")
+                          + " --xla_force_host_platform_device_count=8").strip(),
+            "SCALE_NDEV": str(n_dev),
+            "PYTHONPATH": os.path.dirname(os.path.abspath(__file__)),
+        })
+        out = subprocess.run([sys.executable, "-c", _SCALING_SNIPPET],
+                             capture_output=True, text=True, env=env,
+                             timeout=1200)
+        line = [ln for ln in out.stdout.splitlines() if ln.startswith("{")]
+        if not line:
+            log(f"scaling run n_dev={n_dev} failed: {out.stderr[-500:]}")
+            return float("nan")
+        results[n_dev] = json.loads(line[-1])["dt"]
+        log(f"scaling: {n_dev} dev -> {results[n_dev]*1e3:.1f} ms/call")
+    # weak scaling (spp == n_dev): ideal 8-dev time equals 1-dev time
+    return results[1] / results[8]
+
+
 def main():
-    scene_name = os.environ.get("BENCH_SCENE", "bunny_field")
+    scene_name = os.environ.get("BENCH_SCENE", "textured_hall")
     width = int(os.environ.get("BENCH_WIDTH", "512"))
     height = int(os.environ.get("BENCH_HEIGHT", "512"))
     depth = int(os.environ.get("BENCH_DEPTH", "8"))
     spp_per_call = int(os.environ.get("BENCH_SPP_PER_CALL", "4"))
     calls = int(os.environ.get("BENCH_CALLS", "8"))
+    skip_extras = os.environ.get("BENCH_SKIP_EXTRAS", "0") == "1"
 
     from mcrt_tpu.accel import build_intersector
-    from mcrt_tpu.config import AccelType, IntegratorConfig, RenderConfig
+    from mcrt_tpu.config import (
+        AccelType, IntegratorConfig, RenderConfig, SamplerConfig, SamplerType,
+    )
     from mcrt_tpu.parallel.render import render_spp_batch
-    from mcrt_tpu.scene.builders import cornell_box
+    from mcrt_tpu.scene import builders
 
-    # AUTO resolves to the Pallas blocked kernel on TPU (the measured-fastest
-    # strategy at every scene size), XLA paths on CPU
     accel = AccelType(os.environ.get("BENCH_ACCEL", "auto"))
-
-    if scene_name == "bunny_field":
-        from mcrt_tpu.scene.builders import bunny_field
-
-        scene, camera = bunny_field()
-    else:
-        scene, camera = cornell_box()
+    scene, camera = getattr(builders, scene_name)()
 
     cfg = RenderConfig(
         width=width, height=height, spp=spp_per_call, accel=accel,
+        sampler=SamplerConfig(type=SamplerType.SOBOL),
         integrator=IntegratorConfig(max_depth=depth),
     )
     intersector = build_intersector(scene, cfg)
@@ -130,11 +237,42 @@ def main():
 
     rays_per_sec = rays_per_call * calls / dt
     n_chips = jax.device_count()
+
+    # kernel-time breakdown + MFU accounting (stderr)
+    ms_per_spp = dt / (calls * spp_per_call) * 1e3
+    log(f"breakdown: {ms_per_spp:.1f} ms/spp at {width}x{height}, "
+        f"{depth} bounces ({scene_name}, sobol)")
+    # ~40 VPU flops per ray-triangle MT test; the dense-MT roofline measured
+    # on this chip is ~50 Gtests/s (tools/proto_v2.py); v5e peak 197 Tflop/s
+    flops_per_ray = 40.0 * 128.0 * 30.0  # ~30 blocks/ray x 128 tests/block
+    tflops = rays_per_sec * flops_per_ray / 1e12
+    mfu_pct = tflops / 197.0 * 100.0
+    log(f"MFU estimate: ~{tflops:.3f} Tflop/s of MT tests "
+        f"(~{mfu_pct:.3f}% of v5e peak; the workload is VPU-bound by design)")
+
+    grad_ratio = float("nan")
+    scaling = float("nan")
+    if not skip_extras:
+        try:
+            grad_ratio = measure_grad_overhead(scene, camera)
+        except Exception as e:  # pragma: no cover - diagnostics only
+            log(f"grad overhead measurement failed: {e}")
+        try:
+            scaling = measure_scaling()
+        except Exception as e:  # pragma: no cover
+            log(f"scaling measurement failed: {e}")
+
     result = {
         "metric": "rays/sec/chip",
         "value": round(rays_per_sec / n_chips),
-        "unit": f"rays/s ({scene_name} {width}x{height}, {depth} bounces, accel={cfg.accel.value})",
-        "vs_baseline": 1.0,  # reference publishes no numbers; this run IS the baseline
+        "unit": (f"rays/s ({scene_name} {width}x{height}, {depth} bounces, "
+                 f"sobol, accel={cfg.accel.value})"),
+        "vs_baseline": round(rays_per_sec / n_chips / R01_BASELINE, 2),
+        "grad_overhead_ratio": (None if grad_ratio != grad_ratio
+                                else round(grad_ratio, 2)),
+        "scaling_efficiency_8dev": (None if scaling != scaling
+                                    else round(scaling, 3)),
+        "mfu_pct": round(mfu_pct, 4),
     }
     print(json.dumps(result))
 
