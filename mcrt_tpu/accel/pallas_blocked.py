@@ -442,7 +442,7 @@ def _closest_kernel(count_ref, rays_ref, list_ref, tn_ref, tri_hbm,
     # no pl.program_id anywhere: all per-tile state arrives via per-tile
     # blocks, which keeps the kernel correct under vmap (a batched grid
     # prepends a dimension and would silently shift program_id axes)
-    cnt = count_ref[0, 0]
+    cnt = count_ref[0]
     rt = rays_ref[:]
     ox, oy, oz, dx, dy, dz, _, _, _, tmn, tmx, anyh = _ray_rows(rt)
     nbpad = list_ref.shape[1]
@@ -508,7 +508,7 @@ def _closest_kernel(count_ref, rays_ref, list_ref, tn_ref, tri_hbm,
 
 def _occluded_kernel(count_ref, rays_ref, list_ref, tri_hbm,
                      out_ref, scratch, sems):
-    cnt = count_ref[0, 0]
+    cnt = count_ref[0]
     rt = rays_ref[:]
     ox, oy, oz, dx, dy, dz, _, _, _, tmn, tmx, _ = _ray_rows(rt)
     live0 = tmx > tmn  # inactive rays encoded with tmax=-BIG
