@@ -401,7 +401,7 @@ def _visit_lists(rays_packed: jax.Array, aabb: jax.Array, interpret: bool):
 # --------------------------------------------------------------------------
 
 
-def _group_helpers(list_ref, tri_hbm, scratch, sems):
+def _group_helpers(row, list_ref, tri_hbm, scratch, sems):
     """G-batched DMA machinery: each loop iteration stages GROUP consecutive
     list entries into one scratch slot (GROUP parallel DMAs) and tests them
     as a single (GROUP*BLOCK, T) dense matrix — amortizing the per-iteration
@@ -414,7 +414,7 @@ def _group_helpers(list_ref, tri_hbm, scratch, sems):
     nt_blocks = tri_hbm.shape[1] // BLOCK
 
     def entry(k, g):
-        b = list_ref[0, jnp.minimum(k * GROUP + g, nbpad - 1)]
+        b = list_ref[row, jnp.minimum(k * GROUP + g, nbpad - 1)]
         return jnp.minimum(b, nt_blocks - 1)
 
     def get_dma(slot, k, g):
@@ -439,15 +439,14 @@ def _group_helpers(list_ref, tri_hbm, scratch, sems):
 
 def _closest_kernel(count_ref, rays_ref, list_ref, tn_ref, tri_hbm,
                     t_ref, slot_ref, scratch, sems):
-    # no pl.program_id anywhere: all per-tile state arrives via per-tile
-    # blocks, which keeps the kernel correct under vmap (a batched grid
-    # prepends a dimension and would silently shift program_id axes)
-    cnt = count_ref[0]
+    i = pl.program_id(0)
+    row = i % 8
+    cnt = count_ref[i]
     rt = rays_ref[:]
     ox, oy, oz, dx, dy, dz, _, _, _, tmn, tmx, anyh = _ray_rows(rt)
     nbpad = list_ref.shape[1]
     entry, start_group, wait_group = _group_helpers(
-        list_ref, tri_hbm, scratch, sems
+        row, list_ref, tri_hbm, scratch, sems
     )
     groups = (cnt + GROUP - 1) // GROUP
 
@@ -464,7 +463,7 @@ def _closest_kernel(count_ref, rays_ref, list_ref, tn_ref, tri_hbm,
             # ray's best hit (dead rays carry best_t=-BIG via the tmx clamp)
             t_exit = jnp.max(jnp.minimum(best_t, tmx))
             kk = jnp.minimum(k * GROUP, nbpad - 1)
-            return (k < groups) & (tn_ref[0, kk] <= t_exit)
+            return (k < groups) & (tn_ref[row, kk] <= t_exit)
 
         def body(state):
             k, best_t, best_slot = state
@@ -508,7 +507,9 @@ def _closest_kernel(count_ref, rays_ref, list_ref, tn_ref, tri_hbm,
 
 def _occluded_kernel(count_ref, rays_ref, list_ref, tri_hbm,
                      out_ref, scratch, sems):
-    cnt = count_ref[0]
+    i = pl.program_id(0)
+    row = i % 8
+    cnt = count_ref[i]
     rt = rays_ref[:]
     ox, oy, oz, dx, dy, dz, _, _, _, tmn, tmx, _ = _ray_rows(rt)
     live0 = tmx > tmn  # inactive rays encoded with tmax=-BIG
@@ -516,7 +517,7 @@ def _occluded_kernel(count_ref, rays_ref, list_ref, tri_hbm,
     # Mosaic mask-layout mismatches (observed on v5e)
     out_ref[:] = jnp.zeros((1, TILE), jnp.float32)
     _, start_group, wait_group = _group_helpers(
-        list_ref, tri_hbm, scratch, sems
+        row, list_ref, tri_hbm, scratch, sems
     )
     groups = (cnt + GROUP - 1) // GROUP
 
