@@ -66,6 +66,20 @@ class PinholeCamera(struct.PyTreeNode):
         o = jnp.broadcast_to(self.position, d.shape)
         return o, d
 
+    def generate_ray_differentials(self, uv: jax.Array, width: int,
+                                   height: int):
+        """Directions of the rays through the +1-pixel neighbors in x and y
+        (``GeneratePerspectiveRays`` differential setup,
+        ``PathTracing.cl:22-35``; stored as ``RTRayDifferentials``,
+        ``kernel_data.h:266-272``)."""
+        from ..core.types import RayDiff
+
+        du = jnp.asarray([1.0 / width, 0.0], jnp.float32)
+        dv = jnp.asarray([0.0, 1.0 / height], jnp.float32)
+        dddx = m.lerp_direction(self.c00, self.c10, self.c01, self.c11, uv + du)
+        dddy = m.lerp_direction(self.c00, self.c10, self.c01, self.c11, uv + dv)
+        return RayDiff(dddx=dddx, dddy=dddy)
+
     # ------------------------------------------------------------------
     # Importance transport (BDPT t=1 strategies), cf. cameras.cl
     # ------------------------------------------------------------------

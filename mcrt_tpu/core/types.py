@@ -43,6 +43,16 @@ class Rays(struct.PyTreeNode):
         return self.o + self.d * t[..., None]
 
 
+class RayDiff(struct.PyTreeNode):
+    """Camera-ray differentials — analogue of ``RTRayDifferentials``
+    (``kernel_data.h:266-272``): the directions of the rays through the
+    neighboring pixel centers (+1 in x, +1 in y).  A pinhole shares the
+    origin across pixels, so only the directions are carried."""
+
+    dddx: jax.Array  # (N, 3) direction of the x-neighbor pixel's ray
+    dddy: jax.Array  # (N, 3) direction of the y-neighbor pixel's ray
+
+
 class Hit(struct.PyTreeNode):
     """Closest-hit record — analogue of ``RTIntersection``
     (``kernel_data.h:394-402``): shape id, prim id, barycentric uv, t."""

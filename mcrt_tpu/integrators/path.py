@@ -46,8 +46,15 @@ def trace(
     cfg: IntegratorConfig,
     intersect: IntersectFn,
     occluded: OccludedFn,
+    diff=None,
 ) -> jax.Array:
-    """Trace one camera-sample wavefront to completion; returns (N, 3) radiance."""
+    """Trace one camera-sample wavefront to completion; returns (N, 3) radiance.
+
+    ``diff`` (optional ``RayDiff``) carries camera-ray differentials: texture
+    LOD on the *primary* hit comes from the plane-transferred uv footprint
+    (``geometry.cl:92-175``); secondary bounces sample the base mip, like the
+    reference integrators (which call the non-differential
+    ``computeSurfaceInteraction``, ``PathTracing.cl:74``)."""
 
     n = rays.n
     tp = Throughput.fresh(n)
@@ -61,7 +68,14 @@ def trace(
         hit = intersect(scene, rays)
         alive = tp.active & hit.valid
 
-        it = compute_interaction(scene, rays, hit)
+        if diff is None:
+            it = compute_interaction(scene, rays, hit)
+        else:
+            # differentials are valid only for the primary bounce: zero the
+            # neighbor directions elsewhere -> transfer degenerates to 0
+            mask = (i == 0).astype(jnp.float32)
+            d0 = jax.tree.map(lambda a: a * mask, diff)
+            it = compute_interaction(scene, rays, hit, diff=d0)
         bsdf, it = fetch_bsdf(scene, it)
 
         t_f, b_f, n_f = it.dpdu, it.dpdv, it.ns

@@ -91,6 +91,7 @@ def render_sample(
     order, inv_order = _morton_pixel_order(w, h)
     uv = jnp.take(uv, jnp.asarray(order), axis=0)  # trace in Z-order
     o, d = camera.generate_rays(uv)
+    diff = camera.generate_ray_differentials(uv, w, h)
     from .core.types import Rays
 
     rays = Rays.make(o, d)
@@ -100,6 +101,7 @@ def render_sample(
         radiance = path_integrator.trace(
             scene, rays, stream, cfg.integrator,
             intersector.intersect, intersector.occluded,
+            diff=diff,
         )
     else:
         from .integrators import bdpt as bdpt_integrator

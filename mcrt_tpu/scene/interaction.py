@@ -12,7 +12,7 @@ import jax
 import jax.numpy as jnp
 
 from ..core import math as m
-from ..core.types import Hit, Interaction, Rays
+from ..core.types import Hit, Interaction, RayDiff, Rays
 from .scene import Scene
 
 
@@ -44,9 +44,54 @@ def triangle_dpduv(p, uv):
     return dpdu, dpdv, ng
 
 
-def compute_interaction(scene: Scene, rays: Rays, hit: Hit) -> Interaction:
+def transfer_differentials(rays: Rays, diff: RayDiff, p: jax.Array,
+                           ng: jax.Array, dpdu: jax.Array,
+                           dpdv: jax.Array):
+    """Ray-differential transfer onto the hit plane → (duvdx, duvdy)
+    (``computeSurfaceInteractionWithDifferentials``,
+    ``geometry.cl:92-175``): intersect the neighbor-pixel rays with the
+    plane through ``p`` with normal ``ng``, then solve for the uv offsets
+    in the (raw, un-orthonormalized) dpdu/dpdv parametrization.  Where the
+    reference selects the two most-normal-aligned dimensions for its 2×2
+    solve (``geometry.cl:130-147``), this uses the branch-free
+    least-squares normal equations — identical result for exact plane
+    offsets, and vector-friendly."""
+    denom = m.dot(rays.d, ng)  # = dot(p - o, ng)/t for the main ray
+    dist = m.dot(p - rays.o, ng)
+
+    def plane_offset(dd):
+        dn = m.dot(dd, ng)
+        ok = jnp.abs(dn) > 1e-12
+        t = jnp.where(ok, dist / jnp.where(ok, dn, 1.0), 0.0)
+        px = rays.o + dd * t[..., None]
+        return px - p, ok
+
+    dpdx, okx = plane_offset(diff.dddx)
+    dpdy, oky = plane_offset(diff.dddy)
+    # normal equations: [uu uv; uv vv] [du; dv] = [dot(dp,dpdu); dot(dp,dpdv)]
+    uu = m.dot(dpdu, dpdu)
+    uvd = m.dot(dpdu, dpdv)
+    vv = m.dot(dpdv, dpdv)
+    ok0 = jnp.abs(denom) > 1e-12
+
+    def solve(dp, ok):
+        b0 = m.dot(dp, dpdu)
+        b1 = m.dot(dp, dpdv)
+        du, dv, s_ok = m.solve_2x2(uu, uvd, uvd, vv, b0, b1)
+        good = ok & ok0 & s_ok
+        return jnp.stack(
+            [jnp.where(good, du, 0.0), jnp.where(good, dv, 0.0)], axis=-1
+        )
+
+    return solve(dpdx, okx), solve(dpdy, oky)
+
+
+def compute_interaction(scene: Scene, rays: Rays, hit: Hit,
+                        diff: RayDiff | None = None) -> Interaction:
     """Build the shading record at each hit (``computeSurfaceInteraction``,
-    ``geometry.cl:177-215``).  Invalid lanes get benign defaults."""
+    ``geometry.cl:177-215``).  Invalid lanes get benign defaults.  When
+    ``diff`` is given, uv screen derivatives are transferred onto the hit
+    plane (``geometry.cl:92-175``) and drive texture LOD."""
     prim = jnp.maximum(hit.prim, 0)
     p3, n3, uv3 = _face_attributes(scene, prim)
 
@@ -70,6 +115,13 @@ def compute_interaction(scene: Scene, rays: Rays, hit: Hit) -> Interaction:
     valid = hit.valid
 
     n = pos.shape[0]
+    if diff is not None:
+        duvdx, duvdy = transfer_differentials(rays, diff, pos, ng, dpdu, dpdv)
+        duvdx = jnp.where(valid[..., None], duvdx, 0.0)
+        duvdy = jnp.where(valid[..., None], duvdy, 0.0)
+    else:
+        duvdx = jnp.zeros((n, 2), jnp.float32)
+        duvdy = jnp.zeros((n, 2), jnp.float32)
     return Interaction(
         p=pos,
         ng=ng,
@@ -78,8 +130,8 @@ def compute_interaction(scene: Scene, rays: Rays, hit: Hit) -> Interaction:
         dpdv=b,
         uv=uv,
         wo=-rays.d,
-        duvdx=jnp.zeros((n, 2), jnp.float32),
-        duvdy=jnp.zeros((n, 2), jnp.float32),
+        duvdx=duvdx,
+        duvdy=duvdy,
         material=jnp.where(valid, mat, -1).astype(jnp.int32),
         light=jnp.where(valid, light, -1).astype(jnp.int32),
         valid=valid,
