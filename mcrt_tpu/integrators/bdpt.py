@@ -149,11 +149,19 @@ def _vertex_pdf(scene, verts, i, next_p, next_ng, next_surf):
 
 
 def _pdf_light_dir(scene, verts, i, next_p, next_ng, next_surf):
-    """Area pdf of light vertex i emitting toward `next` (PBRT PdfLight)."""
+    """Area pdf of light vertex i emitting toward `next` (PBRT PdfLight).
+
+    Infinite (delta-direction) lights use the planar disk density
+    1/(pi r^2) projected onto the receiver — never a 1/d^2 conversion."""
     v = verts.at(i)
     w = m.normalize(next_p - v.p)
-    _, pdf_dir = lt.pdf_le(scene, v.light_idx, v.ns, w)
-    return _convert_density(pdf_dir, v.p, next_p, next_ng, next_surf)
+    pdf_pos, pdf_dir = lt.pdf_le(scene, v.light_idx, v.ns, w)
+    ltype = jnp.take(scene.lights.type, jnp.maximum(v.light_idx, 0), axis=0,
+                     mode="clip")
+    is_inf = (ltype == LIGHT_DIRECTIONAL) & (v.light_idx >= 0)
+    pdf_area = _convert_density(pdf_dir, v.p, next_p, next_ng, next_surf)
+    cos_next = jnp.where(next_surf, jnp.abs(m.dot(next_ng, w)), 1.0)
+    return jnp.where(is_inf, pdf_pos * cos_next, pdf_area)
 
 
 def _pdf_light_origin(scene, verts, i):
@@ -285,20 +293,29 @@ def generate_light_subpath(scene, stream, n_verts, cfg, intersect, n):
     l_idx, pdf_choice = lt.pick_light(scene.lights, u_pick)
     le = lt.sample_le(scene, l_idx, u_pos, u_dir)
     ltype = jnp.take(scene.lights.type, jnp.maximum(l_idx, 0), axis=0, mode="clip")
-    # v1: directional lights are not walked (s=1 covers them)
-    usable = le.valid & (ltype != LIGHT_DIRECTIONAL) & (scene.lights.num > 0)
+    # directional lights walk too: origin sampled on a scene-radius disk
+    # outside the scene with pdf_pos = 1/(pi r^2), delta direction
+    # (``lights.cl:148-224`` walks them the same way)
+    usable = le.valid & (scene.lights.num > 0)
 
     pdf_origin = le.pdf_pos * pdf_choice
     beta0 = le.le / jnp.maximum(pdf_origin, 1e-20)[:, None]
     tl, bl = m.build_orthonormal_basis(le.n)
+    is_inf = ltype == LIGHT_DIRECTIONAL
     verts = verts.set_vertex(
         0,
         vtype=jnp.full((n,), VT_LIGHT, jnp.int32),
         p=le.p, ng=le.n, ns=le.n, t=tl, b=bl,
         light_idx=jnp.where(usable, l_idx, -1),
         beta=jnp.where(usable[:, None], beta0, 0.0),
-        pdf_fwd=jnp.where(usable, pdf_origin, 0.0),
-        delta=le.is_delta_pos,
+        # infinite (delta-direction) lights: the origin's spatial density is
+        # the directional density of re-sampling it, 0 for a delta light
+        # (PBRT InfiniteLightDensity); remap0 turns it into 1 in MIS ratios
+        pdf_fwd=jnp.where(usable & ~is_inf, pdf_origin, 0.0),
+        # the delta FIELD records how a vertex was REACHED and is always
+        # False for light origins (PBRT Vertex::CreateLight); whether the
+        # LIGHT itself is delta is recovered from its type in _mis_weight
+        delta=jnp.zeros((n,), bool),
         valid=usable,
     )
     from ..scene.scene import LIGHT_DISK, LIGHT_MESH
@@ -318,6 +335,18 @@ def generate_light_subpath(scene, stream, n_verts, cfg, intersect, n):
         scene, rays, beta1, le.pdf_dir, stream, verts, 1, n_verts - 1,
         importance_mode=True, cfg=cfg, intersect=intersect,
     )
+    # infinite (delta-direction) lights: the first surface vertex's forward
+    # density is the planar disk density 1/(pi r^2) projected onto the
+    # surface — not a solid-angle conversion of the delta direction pdf
+    # (PBRT GenerateLightSubpath's infinite-light correction)
+    if n_verts > 1:
+        v1 = verts.at(1)
+        pdf1_inf = le.pdf_pos * jnp.abs(m.dot(le.d, v1.ng))
+        verts = verts.replace(
+            pdf_fwd=verts.pdf_fwd.at[:, 1].set(
+                jnp.where(is_inf & v1.valid, pdf1_inf, verts.pdf_fwd[:, 1])
+            )
+        )
     return verts, stream
 
 
@@ -402,8 +431,18 @@ def _mis_weight(scene, camera, cam: Vertices, light: Vertices, s: int, t: int,
         use = ~(d_i | cam.delta[:, i - 1])
         sum_ri = sum_ri + jnp.where(use & cam.valid[:, i], ri, 0.0)
 
-    # light side: i = s-1 .. 0
+    # light side: i = s-1 .. 0.  The i=0 strategy ("connect to the light
+    # origin") does not exist for delta lights: point lights (delta
+    # position) and directional lights (delta direction) both exclude it —
+    # PBRT's IsDeltaLight(), recovered here from the light's type.
     ri = jnp.ones((n,), jnp.float32)
+    if s > 0:
+        l_idx0 = light.light_idx[:, 0]
+        ltype0 = jnp.take(scene.lights.type, jnp.maximum(l_idx0, 0), axis=0,
+                          mode="clip")
+        is_delta_light0 = (
+            (ltype0 == LIGHT_POINT) | (ltype0 == LIGHT_DIRECTIONAL)
+        ) & (l_idx0 >= 0)
     for i in range(s - 1, -1, -1):
         rev = light.pdf_rev[:, i]
         if i == s - 1 and qs_rev is not None:
@@ -415,8 +454,7 @@ def _mis_weight(scene, camera, cam: Vertices, light: Vertices, s: int, t: int,
         if i > 0:
             use = ~(d_i | light.delta[:, i - 1])
         else:
-            # delta light origin (point lights have delta position)
-            use = ~(light.delta[:, 0]) if s > 1 else ~light.delta[:, 0]
+            use = ~(d_i | is_delta_light0)
         sum_ri = sum_ri + jnp.where(use & light.valid[:, i], ri, 0.0)
 
     return 1.0 / (1.0 + sum_ri)
@@ -459,12 +497,21 @@ def trace(
     intersect,
     occluded,
     s1_only: bool = False,
+    film: tuple[int, int] | None = None,
+    slot_of_pixel: jax.Array | None = None,
 ):
     """Full BDPT estimate for one wavefront. Returns (N, 3) radiance
     including splatted t=1 contributions (accumulated via scatter-add).
 
     s1_only reproduces the forward path tracer (the reference's
-    ``SHOW_REGULAR_PATH_TRACER_RESULTS`` cross-check, ``BDPT.cl:18``)."""
+    ``SHOW_REGULAR_PATH_TRACER_RESULTS`` cross-check, ``BDPT.cl:18``).
+
+    ``film`` is the (W, H) resolution used to address t=1 film splats
+    (``ConnectVertices`` atomic splats, ``BDPT.cl:654-669``); defaults to a
+    square film of sqrt(n) for direct callers.  ``slot_of_pixel`` maps a
+    row-major pixel index to the ray slot carrying that pixel — the renderer
+    traces rays in Morton order, so splats must land in the slot that the
+    caller's inverse permutation will send back to the right pixel."""
     n = rays.n
     t_max = cfg.max_depth + 2
     s_max = cfg.max_depth + 1
@@ -490,7 +537,10 @@ def trace(
             if t == 1:
                 if s1_only:
                     continue
-                L = L + _strategy_t1(scene, camera, light, s, cfg, occluded, stream, n)
+                L = L + _strategy_t1(
+                    scene, camera, light, s, cfg, occluded, stream, n,
+                    film=film, slot_of_pixel=slot_of_pixel,
+                )
             elif s == 0:
                 L = L + _strategy_s0(scene, camera, cam, light, t, cfg, s1_only)
             elif s == 1:
@@ -570,7 +620,8 @@ def _strategy_s1(scene, camera, cam: Vertices, light, t, cfg, occluded, stream, 
     return jnp.where(vis[:, None], contrib * w[:, None], 0.0), stream
 
 
-def _strategy_t1(scene, camera, light: Vertices, s, cfg, occluded, stream, n):
+def _strategy_t1(scene, camera, light: Vertices, s, cfg, occluded, stream, n,
+                 film=None, slot_of_pixel=None):
     """Connect light vertex s-1 to the camera; splat at the projected pixel
     (``ConnectVertices`` t=1 + atomic splats -> scatter-add)."""
     qs = light.at(s - 1)
@@ -616,15 +667,22 @@ def _strategy_t1(scene, camera, light: Vertices, s, cfg, occluded, stream, n):
 
     # splat: scatter-add into the flat pixel grid (v=0 bottom row).
     # pixel layout must match camera/pinhole.pixel_uv: idx = row*W + col
-    # derived from uv; resolution is sqrt(n) for square films — callers
-    # supply square wavefronts (renderer guarantees this).
-    import math as pymath
+    # derived from uv; the film resolution comes from the caller (falls back
+    # to a square sqrt(n) film for direct trace() users).
+    if film is not None:
+        w_img, h_img = film
+    else:
+        import math as pymath
 
-    w_img = int(pymath.isqrt(n))
-    h_img = n // w_img
+        w_img = int(pymath.isqrt(n))
+        h_img = n // w_img
     px = jnp.clip((uv[:, 0] * w_img).astype(jnp.int32), 0, w_img - 1)
     py = jnp.clip((uv[:, 1] * h_img).astype(jnp.int32), 0, h_img - 1)
     flat = py * w_img + px
+    if slot_of_pixel is not None:
+        # rays are a permutation of pixels: route the splat to the ray slot
+        # that the caller's inverse permutation maps back to pixel `flat`
+        flat = jnp.take(slot_of_pixel, flat, axis=0)
     out = jnp.zeros((n, 3), jnp.float32)
     out = out.at[flat].add(jnp.where(vis[:, None], contrib, 0.0))
     return out

@@ -276,7 +276,13 @@ def sample_le(scene: Scene, light_idx: jax.Array, u_pos: jax.Array,
 
 def pdf_le(scene: Scene, light_idx: jax.Array, n: jax.Array, d: jax.Array):
     """(pdf_pos, pdf_dir) of sample_le for an emitted ray (p, d) —
-    ``evalLightPdfLe`` (``lights.cl:226-252``)."""
+    ``evalLightPdfLe`` (``lights.cl:226-252``).
+
+    These are the MIS-evaluation densities, which zero the delta components
+    exactly as the reference does: directional lights have pdf_dir = 0 (a
+    connection can never re-generate the fixed direction) and point lights
+    have pdf_pos = 0; ``remap0`` in the BDPT ratio walk turns those into 1.
+    The *sampling* densities used for throughput live in ``sample_le``."""
     lights = scene.lights
     ltype = jnp.take(lights.type, light_idx, axis=0, mode="clip")
     larea = jnp.take(lights.area, light_idx, axis=0, mode="clip")
@@ -285,10 +291,10 @@ def pdf_le(scene: Scene, light_idx: jax.Array, n: jax.Array, d: jax.Array):
     cos_d = m.dot(n, d)
     pdf_pos = jnp.where(
         is_dir, m.safe_div(jnp.ones_like(larea), jnp.pi * scene.radius ** 2),
-        jnp.where(is_pt, 1.0, m.safe_div(jnp.ones_like(larea), larea)),
+        jnp.where(is_pt, 0.0, m.safe_div(jnp.ones_like(larea), larea)),
     )
     pdf_dir = jnp.where(
-        is_dir, 1.0,
+        is_dir, 0.0,
         jnp.where(is_pt, smp.uniform_sphere_pdf(), smp.cosine_hemisphere_pdf(cos_d)),
     )
     return pdf_pos, pdf_dir

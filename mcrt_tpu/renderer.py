@@ -109,6 +109,7 @@ def render_sample(
         radiance = bdpt_integrator.trace(
             scene, camera, rays, stream, cfg.integrator,
             intersector.intersect, intersector.occluded,
+            film=(w, h), slot_of_pixel=jnp.asarray(inv_order),
         )
     radiance = jnp.take(radiance, jnp.asarray(inv_order), axis=0)
     return radiance, jitter

@@ -117,3 +117,80 @@ def test_bdpt_through_renderer(cornell):
     img = np.asarray(Renderer(scene, camera, cfg).render())
     assert np.isfinite(img).all()
     assert img.mean() > 0.05
+
+
+def test_bdpt_nonsquare_film_matches_pt(cornell):
+    """t=1 splats must address the true (W, H) film — not a sqrt(n) square —
+    and must be routed through the renderer's Morton ray ordering.  A
+    converged non-square BDPT render through the Renderer agrees with PT
+    per-pixel (both unbiased)."""
+    from mcrt_tpu.renderer import Renderer
+
+    scene, camera = cornell
+    w, h, spp = 32, 16, 512
+    imgs = {}
+    for ityp in (IntegratorType.PATH, IntegratorType.BDPT):
+        cfg = RenderConfig(
+            width=w, height=h, spp=spp, samples_per_pass=64,
+            accel=AccelType.BRUTE,
+            integrator=IntegratorConfig(type=ityp, max_depth=2),
+        )
+        imgs[ityp] = np.asarray(Renderer(scene, camera, cfg).render())
+    a, b = imgs[IntegratorType.PATH], imgs[IntegratorType.BDPT]
+    assert a.shape == b.shape == (h, w, 3)
+    mask = a.max(-1) < 5.0  # exclude the directly visible emitter
+    rel = np.abs(a - b)[mask].mean() / a[mask].mean()
+    # a square-film (or unrouted) splat would scramble whole rows: rel > 0.5
+    assert rel < 0.08, rel
+
+
+def _directional_scene():
+    """Open box lit ONLY by a directional light: light subpaths (s>=2) carry
+    indirect bounce light that s=1/NEE alone cannot, so PT/BDPT agreement
+    exercises the directional sample_le/pdf_le walk (``lights.cl:148-224``)."""
+    from mcrt_tpu.scene.builders import SceneBuffers, box, quad
+    from mcrt_tpu.scene.scene import (
+        LIGHT_DIRECTIONAL, UberMaterial, build_scene, make_lights,
+    )
+    from mcrt_tpu.camera.pinhole import PinholeCamera
+
+    sb = SceneBuffers()
+    s = 1.0
+    pos, idx = quad([-s, 0, s], [s, 0, s], [s, 0, -s], [-s, 0, -s])
+    sb.add_mesh(pos, idx, 0)  # floor
+    pos, idx = quad([-s, 0, -s], [s, 0, -s], [s, 2 * s, -s], [-s, 2 * s, -s])
+    sb.add_mesh(pos, idx, 1)  # back wall (red)
+    pos, idx = box([-0.5, 0.0, -0.5], [0.0, 0.8, 0.0])
+    sb.add_mesh(pos, idx, 0)
+    positions, normals, uvs, indices, face_shape, shape_mat, shape_light = sb.concat()
+    materials = [
+        UberMaterial(diffuse=(0.73, 0.73, 0.73)),
+        UberMaterial(diffuse=(0.63, 0.065, 0.05)),
+    ]
+    lights = make_lights(
+        [{"type": LIGHT_DIRECTIONAL, "direction": (0.3, -1.0, -0.4),
+          "intensity": (3.0, 2.8, 2.5)}],
+        positions, indices, face_shape,
+    )
+    scene = build_scene(
+        positions, normals, uvs, indices, face_shape, shape_mat, materials,
+        lights=lights, shape_light=shape_light,
+    )
+    camera = PinholeCamera.look_at(
+        eye=(0.0, 1.2, 3.2), target=(0.0, 0.6, 0.0), fov_deg=40.0, aspect=1.0
+    )
+    return scene, camera
+
+
+def test_bdpt_directional_light_subpaths():
+    """Full BDPT on a directional-only scene stays unbiased: the s>=2 light
+    subpaths started on the scene-radius disk must MIS-combine with s=1
+    into the same converged image PT produces."""
+    scene, camera = _directional_scene()
+    cfg = IntegratorConfig(max_depth=3)
+    a = _converged(scene, camera, cfg, use_bdpt=False, spp=768)
+    b = _converged(scene, camera, cfg, use_bdpt=True, spp=768)
+    rel = np.abs(a - b).mean() / max(a.mean(), 1e-9)
+    assert np.isfinite(b).all()
+    assert rel < 0.05, rel
+    assert abs(a.mean() - b.mean()) / a.mean() < 0.03
