@@ -60,9 +60,15 @@ def build_intersector(scene: Scene, cfg: RenderConfig) -> Intersector:
         )
 
         acc = build_blocked(scene.geometry, cfg.bvh)
+        # the per-query ray coherence sort only pays off when culling can
+        # actually skip blocks; for near-single-block scenes it is pure
+        # overhead (2 argsorts + 4 permutation gathers per bounce)
+        sort = acc.num_blocks >= 8
         return Intersector(
-            intersect=lambda s, r: intersect_blocked(s.geometry, acc, r),
-            occluded=lambda s, r: occluded_blocked(s.geometry, acc, r),
+            intersect=lambda s, r: intersect_blocked(s.geometry, acc, r,
+                                                     sort=sort),
+            occluded=lambda s, r: occluded_blocked(s.geometry, acc, r,
+                                                   sort=sort),
             accel=acc,
         )
     if accel_type == AccelType.LBVH:

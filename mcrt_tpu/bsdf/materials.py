@@ -68,35 +68,49 @@ def fetch_bsdf(scene: Scene, it: Interaction,
     tex = g(mats.tex)  # (N, 8)
 
     if scene.textures.num > 0:
+        # static per-slot gating: slots no material binds compile away
+        # entirely (used_slots is trace-time constant)
+        used = scene.materials.used_slots
         one3 = jnp.ones_like(diffuse)
-        d_rgb, d_a = _maybe_texture(scene, tex[..., TEX_DIFFUSE], it.uv, it.duvdx, it.duvdy, one3)
-        diffuse = diffuse * d_rgb
-        gl_rgb, _ = _maybe_texture(scene, tex[..., TEX_GLOSSY], it.uv, it.duvdx, it.duvdy, one3)
-        glossy = glossy * gl_rgb
-        kr_rgb, _ = _maybe_texture(scene, tex[..., TEX_KR], it.uv, it.duvdx, it.duvdy, one3)
-        kr = kr * kr_rgb
-        kt_rgb, _ = _maybe_texture(scene, tex[..., TEX_KT], it.uv, it.duvdx, it.duvdy, one3)
-        kt = kt * kt_rgb
-        op_rgb, _ = _maybe_texture(scene, tex[..., TEX_OPACITY], it.uv, it.duvdx, it.duvdy, one3)
-        # opacity map multiplies, diffuse alpha multiplies (opacity-in-alpha)
-        opacity = opacity * op_rgb * d_a
-        r_rgb, _ = _maybe_texture(scene, tex[..., TEX_ROUGHNESS], it.uv, it.duvdx, it.duvdy, one3)
-        roughness = roughness * r_rgb[..., 0]
-        i_rgb, _ = _maybe_texture(scene, tex[..., TEX_IOR], it.uv, it.duvdx, it.duvdy, one3)
-        ior = jnp.where(tex[..., TEX_IOR] >= 0, i_rgb[..., 0] * ior, ior)
 
-        # normal mapping: perturb ns and re-orthonormalize the frame
-        # (materials.cl:14-30)
-        n_rgb, _ = _maybe_texture(scene, tex[..., TEX_NORMAL], it.uv, it.duvdx, it.duvdy, one3)
-        has_nm = tex[..., TEX_NORMAL] >= 0
-        n_ts = m.normalize(n_rgb * 2.0 - 1.0)  # tangent space, z-up map
-        ns_new = m.normalize(
-            it.dpdu * n_ts[..., 0:1] + it.dpdv * n_ts[..., 1:2] + it.ns * n_ts[..., 2:3]
-        )
-        ns = jnp.where(has_nm[..., None], ns_new, it.ns)
-        t = m.normalize(it.dpdu - ns * m.dot3(it.dpdu, ns))
-        b = jnp.cross(ns, t)
-        it = it.replace(ns=ns, dpdu=t, dpdv=b)
+        def slot(s):
+            return _maybe_texture(scene, tex[..., s], it.uv, it.duvdx,
+                                  it.duvdy, one3)
+
+        d_a = jnp.ones_like(diffuse[..., :1])
+        if used[TEX_DIFFUSE]:
+            d_rgb, d_a = slot(TEX_DIFFUSE)
+            diffuse = diffuse * d_rgb
+        if used[TEX_GLOSSY]:
+            glossy = glossy * slot(TEX_GLOSSY)[0]
+        if used[TEX_KR]:
+            kr = kr * slot(TEX_KR)[0]
+        if used[TEX_KT]:
+            kt = kt * slot(TEX_KT)[0]
+        if used[TEX_OPACITY] or used[TEX_DIFFUSE]:
+            # opacity map multiplies, diffuse alpha multiplies (opacity-in-alpha)
+            op_rgb = slot(TEX_OPACITY)[0] if used[TEX_OPACITY] else one3
+            opacity = opacity * op_rgb * d_a
+        if used[TEX_ROUGHNESS]:
+            roughness = roughness * slot(TEX_ROUGHNESS)[0][..., 0]
+        if used[TEX_IOR]:
+            i_rgb, _ = slot(TEX_IOR)
+            ior = jnp.where(tex[..., TEX_IOR] >= 0, i_rgb[..., 0] * ior, ior)
+
+        if used[TEX_NORMAL]:
+            # normal mapping: perturb ns and re-orthonormalize the frame
+            # (materials.cl:14-30)
+            n_rgb, _ = slot(TEX_NORMAL)
+            has_nm = tex[..., TEX_NORMAL] >= 0
+            n_ts = m.normalize(n_rgb * 2.0 - 1.0)  # tangent space, z-up map
+            ns_new = m.normalize(
+                it.dpdu * n_ts[..., 0:1] + it.dpdv * n_ts[..., 1:2]
+                + it.ns * n_ts[..., 2:3]
+            )
+            ns = jnp.where(has_nm[..., None], ns_new, it.ns)
+            t = m.normalize(it.dpdu - ns * m.dot3(it.dpdu, ns))
+            b = jnp.cross(ns, t)
+            it = it.replace(ns=ns, dpdu=t, dpdv=b)
 
     alpha = bx.roughness_to_alpha(roughness)
     bsdf = UberBSDF(
@@ -107,6 +121,9 @@ def fetch_bsdf(scene: Scene, it: Interaction,
         passthrough=jnp.clip(1.0 - opacity, 0.0, 1.0),
         alpha=alpha,
         eta=ior,
+        conductor_eta=g(mats.conductor_eta),
+        conductor_k=g(mats.conductor_k),
+        rs_blend=g(mats.rs_blend),
         dist=dist,
     )
     return bsdf, it

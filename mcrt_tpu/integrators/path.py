@@ -62,20 +62,18 @@ def trace(
     prev_pdf = jnp.ones((n,), jnp.float32)
     prev_p = rays.o
 
-    def bounce(i, carry):
+    def bounce(i, carry, bounce_diff=None):
+        """One wavefront bounce.  ``bounce_diff`` (static): camera-ray
+        differentials — only the peeled primary bounce passes them, so the
+        secondary-bounce loop compiles the cheaper bilinear texture path
+        (the reference integrators likewise call the non-differential
+        ``computeSurfaceInteraction``, ``PathTracing.cl:74``)."""
         rays, tp, stream, prev_pdf, prev_p = carry
 
         hit = intersect(scene, rays)
         alive = tp.active & hit.valid
 
-        if diff is None:
-            it = compute_interaction(scene, rays, hit)
-        else:
-            # differentials are valid only for the primary bounce: zero the
-            # neighbor directions elsewhere -> transfer degenerates to 0
-            mask = (i == 0).astype(jnp.float32)
-            d0 = jax.tree.map(lambda a: a * mask, diff)
-            it = compute_interaction(scene, rays, hit, diff=d0)
+        it = compute_interaction(scene, rays, hit, diff=bounce_diff)
         bsdf, it = fetch_bsdf(scene, it)
 
         t_f, b_f, n_f = it.dpdu, it.dpdv, it.ns
@@ -147,7 +145,10 @@ def trace(
         new_prev_pdf = jnp.where(extend, bs.pdf, prev_pdf)
         return new_rays, tp, stream, new_prev_pdf, it.p
 
-    rays, tp, stream, _, _ = jax.lax.fori_loop(
-        0, cfg.max_depth, bounce, (rays, tp, stream, prev_pdf, prev_p)
-    )
+    # peel the primary bounce: it alone carries ray differentials
+    carry = (rays, tp, stream, prev_pdf, prev_p)
+    carry = bounce(0, carry, bounce_diff=diff)
+    if cfg.max_depth > 1:
+        carry = jax.lax.fori_loop(1, cfg.max_depth, bounce, carry)
+    _, tp, _, _, _ = carry
     return tp.radiance

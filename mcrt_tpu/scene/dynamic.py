@@ -24,7 +24,7 @@ import jax.numpy as jnp
 import numpy as np
 from flax import struct
 
-from .scene import LIGHT_MESH, Geometry, Lights, Scene
+from .scene import LIGHT_MESH, Geometry, Lights, Scene, pack_face_attrs
 
 
 def vertex_shape_ids(scene: Scene) -> jax.Array:
@@ -100,7 +100,15 @@ class SceneAnimator(struct.PyTreeNode):
         center = (lo + hi) * 0.5
         radius = jnp.linalg.norm(hi - center) + 1e-6
 
-        new_geom = geom.replace(positions=p, normals=n)
+        shapes = self.base.shapes
+        new_geom = geom.replace(
+            positions=p,
+            normals=n,
+            face_attrs=pack_face_attrs(
+                p, n, geom.uvs, geom.indices, geom.face_shape,
+                geom.face_valid, shapes.material, shapes.light,
+            ),
+        )
         lights = _refresh_mesh_lights(self.base.lights, p, new_geom.indices)
         return self.base.replace(
             geometry=new_geom,

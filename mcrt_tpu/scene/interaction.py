@@ -13,16 +13,25 @@ import jax.numpy as jnp
 
 from ..core import math as m
 from ..core.types import Hit, Interaction, RayDiff, Rays
-from .scene import Scene
+from .scene import (
+    FA_LIGHT, FA_MAT, FA_N0, FA_N1, FA_N2, FA_P0, FA_P1, FA_P2, FA_UV0,
+    FA_UV1, FA_UV2, Scene,
+)
 
 
 def _face_attributes(scene: Scene, prim: jax.Array):
-    geom = scene.geometry
-    idx = jnp.take(geom.indices, jnp.maximum(prim, 0), axis=0, mode="clip")
-    p = [jnp.take(geom.positions, idx[..., k], axis=0, mode="clip") for k in range(3)]
-    n = [jnp.take(geom.normals, idx[..., k], axis=0, mode="clip") for k in range(3)]
-    uv = [jnp.take(geom.uvs, idx[..., k], axis=0, mode="clip") for k in range(3)]
-    return p, n, uv
+    """ONE packed gather per hit instead of six distinct-index sweeps —
+    see ``Geometry.face_attrs``.  Returns (p[3], n[3], uv[3], mat, light)."""
+    row = jnp.take(scene.geometry.face_attrs, prim, axis=0, mode="clip")
+    p = [row[..., FA_P0:FA_P0 + 3], row[..., FA_P1:FA_P1 + 3],
+         row[..., FA_P2:FA_P2 + 3]]
+    n = [row[..., FA_N0:FA_N0 + 3], row[..., FA_N1:FA_N1 + 3],
+         row[..., FA_N2:FA_N2 + 3]]
+    uv = [row[..., FA_UV0:FA_UV0 + 2], row[..., FA_UV1:FA_UV1 + 2],
+          row[..., FA_UV2:FA_UV2 + 2]]
+    mat = row[..., FA_MAT].astype(jnp.int32)
+    light = row[..., FA_LIGHT].astype(jnp.int32)
+    return p, n, uv, mat, light
 
 
 def triangle_dpduv(p, uv):
@@ -93,7 +102,7 @@ def compute_interaction(scene: Scene, rays: Rays, hit: Hit,
     ``diff`` is given, uv screen derivatives are transferred onto the hit
     plane (``geometry.cl:92-175``) and drive texture LOD."""
     prim = jnp.maximum(hit.prim, 0)
-    p3, n3, uv3 = _face_attributes(scene, prim)
+    p3, n3, uv3, mat, light = _face_attributes(scene, prim)
 
     b1 = hit.u[..., None]
     b2 = hit.v[..., None]
@@ -109,19 +118,17 @@ def compute_interaction(scene: Scene, rays: Rays, hit: Hit,
     t = m.normalize(dpdu - ns * m.dot3(dpdu, ns))
     b = jnp.cross(ns, t)
 
-    shape = jnp.maximum(hit.shape, 0)
-    mat = jnp.take(scene.shapes.material, shape, axis=0, mode="clip")
-    light = jnp.take(scene.shapes.light, shape, axis=0, mode="clip")
     valid = hit.valid
 
-    n = pos.shape[0]
     if diff is not None:
         duvdx, duvdy = transfer_differentials(rays, diff, pos, ng, dpdu, dpdv)
         duvdx = jnp.where(valid[..., None], duvdx, 0.0)
         duvdy = jnp.where(valid[..., None], duvdy, 0.0)
     else:
-        duvdx = jnp.zeros((n, 2), jnp.float32)
-        duvdy = jnp.zeros((n, 2), jnp.float32)
+        # None (an empty pytree leaf) — texture sampling statically takes
+        # the bilinear base-mip path, no dead LOD math or extra gathers
+        duvdx = None
+        duvdy = None
     return Interaction(
         p=pos,
         ng=ng,

@@ -43,7 +43,16 @@ N_TEX_SLOTS = 8
 
 class Geometry(struct.PyTreeNode):
     """Flattened world-space triangle soup (``RTScene::attachMesh`` concatenates
-    submeshes the same way, ``RTScene.cpp:564-678``)."""
+    submeshes the same way, ``RTScene.cpp:564-678``).
+
+    ``face_attrs`` is a denormalized per-face copy of everything the shading
+    path needs — vertex positions/normals/uvs plus the face's material and
+    light ids (``RTShape`` lookups folded in).  TPU gathers are
+    address-generation bound: the cost of a gather sweep over N rays is
+    ~independent of row width, so ONE (F, 32) gather by primitive id replaces
+    the six distinct-index sweeps of the normalized layout (3 vertex-index
+    indirections + shape->material + shape->light).  ~128 B/face of extra
+    HBM — bandwidth is cheap, address streams are not."""
 
     positions: jax.Array  # (V, 3) f32 world space
     normals: jax.Array  # (V, 3) f32
@@ -51,6 +60,7 @@ class Geometry(struct.PyTreeNode):
     indices: jax.Array  # (F, 3) i32
     face_shape: jax.Array  # (F,) i32 shape id per face
     face_valid: jax.Array  # (F,) bool (False on padding faces)
+    face_attrs: jax.Array  # (F, 32) f32 packed shading attributes (FA_* cols)
 
     @property
     def num_faces(self) -> int:
@@ -65,6 +75,40 @@ class Geometry(struct.PyTreeNode):
         return p0, p1, p2
 
 
+# packed face_attrs column layout (f32; ids stored as exact small floats)
+FA_P0, FA_P1, FA_P2 = 0, 3, 6       # 3 cols each
+FA_N0, FA_N1, FA_N2 = 9, 12, 15     # 3 cols each
+FA_UV0, FA_UV1, FA_UV2 = 18, 20, 22  # 2 cols each
+FA_MAT, FA_LIGHT = 24, 25
+FA_COLS = 32  # padded to a power of two for clean lane tiling
+
+
+def pack_face_attrs(positions: jax.Array, normals: jax.Array, uvs: jax.Array,
+                    indices: jax.Array, face_shape: jax.Array,
+                    face_valid: jax.Array, shape_material: jax.Array,
+                    shape_light: jax.Array) -> jax.Array:
+    """Build the (F, 32) packed per-face shading table (device-side, so
+    dynamic updates can rebuild it inside jit)."""
+    f = indices.shape[0]
+    cols = []
+    for k in range(3):
+        cols.append(jnp.take(positions, indices[:, k], axis=0, mode="clip"))
+    for k in range(3):
+        cols.append(jnp.take(normals, indices[:, k], axis=0, mode="clip"))
+    for k in range(3):
+        cols.append(jnp.take(uvs, indices[:, k], axis=0, mode="clip"))
+    shp = jnp.maximum(face_shape, 0)
+    mat = jnp.take(shape_material, shp, axis=0, mode="clip")
+    lgt = jnp.take(shape_light, shp, axis=0, mode="clip")
+    mat = jnp.where(face_valid, mat, -1)
+    lgt = jnp.where(face_valid, lgt, -1)
+    cols.append(mat.astype(jnp.float32)[:, None])
+    cols.append(lgt.astype(jnp.float32)[:, None])
+    packed = jnp.concatenate(cols, axis=1)
+    pad = FA_COLS - packed.shape[1]
+    return jnp.concatenate([packed, jnp.zeros((f, pad), jnp.float32)], axis=1)
+
+
 class Shapes(struct.PyTreeNode):
     """Per-shape records (``RTShape``, ``kernel_data.h:36-52``)."""
 
@@ -75,7 +119,12 @@ class Shapes(struct.PyTreeNode):
 
 class Materials(struct.PyTreeNode):
     """Uber-material SoA (``RTMaterial``, ``kernel_data.h:87-113``): every
-    material is the PBRT-style uber material; unused lobes are black."""
+    material is the PBRT-style uber material; unused lobes are black.
+
+    ``used_slots`` is a STATIC per-slot mask (known at trace time): a texture
+    slot no material in the scene binds compiles to zero gathers — the TPU
+    analogue of the reference's per-hit ``texId >= 0`` branches
+    (``materials.cl:67-91``), hoisted from per-lane to per-program."""
 
     diffuse: jax.Array  # (M, 3)
     glossy: jax.Array  # (M, 3) microfacet reflection tint
@@ -85,10 +134,23 @@ class Materials(struct.PyTreeNode):
     roughness: jax.Array  # (M,)
     ior: jax.Array  # (M,)
     tex: jax.Array  # (M, 8) i32 texture ids per slot, -1 = none
+    # conductor Fresnel for kr (``sampleSpecularReflection_Conductor`` +
+    # ``evaluateFresnelConductor``, bxdfs.cl:188-220/272-281): any k > 0
+    # switches the mirror lobe from dielectric to per-channel conductor
+    conductor_eta: jax.Array  # (M, 3)
+    conductor_k: jax.Array  # (M, 3) absorption; zeros = dielectric kr
+    # Ashikhmin-Shirley Fresnel-blend (``evaluateFresnelBlend``,
+    # bxdfs.cl:590-605): any rs > 0 replaces the Lambertian lobe with the
+    # coupled diffuse+Schlick-specular blend
+    rs_blend: jax.Array  # (M, 3)
+    used_slots: tuple = struct.field(
+        pytree_node=False, default=(True,) * N_TEX_SLOTS
+    )
 
     @classmethod
     def stack(cls, mats: list["UberMaterial"]):
         f = np.float32
+        tex_np = np.stack([m.tex for m in mats]).astype(np.int32)
         return cls(
             diffuse=jnp.asarray(np.stack([m.diffuse for m in mats]).astype(f)),
             glossy=jnp.asarray(np.stack([m.glossy for m in mats]).astype(f)),
@@ -97,7 +159,17 @@ class Materials(struct.PyTreeNode):
             opacity=jnp.asarray(np.stack([m.opacity for m in mats]).astype(f)),
             roughness=jnp.asarray(np.array([m.roughness for m in mats], f)),
             ior=jnp.asarray(np.array([m.ior for m in mats], f)),
-            tex=jnp.asarray(np.stack([m.tex for m in mats]).astype(np.int32)),
+            tex=jnp.asarray(tex_np),
+            conductor_eta=jnp.asarray(
+                np.stack([m.conductor_eta for m in mats]).astype(f)
+            ),
+            conductor_k=jnp.asarray(
+                np.stack([m.conductor_k for m in mats]).astype(f)
+            ),
+            rs_blend=jnp.asarray(
+                np.stack([m.rs_blend for m in mats]).astype(f)
+            ),
+            used_slots=tuple(bool(b) for b in (tex_np >= 0).any(axis=0)),
         )
 
 
@@ -114,6 +186,9 @@ class UberMaterial:
         roughness=1.0,
         ior=1.5,
         tex=None,
+        conductor_eta=(0.2, 0.92, 1.1),  # gold-ish default
+        conductor_k=(0.0, 0.0, 0.0),  # any > 0 => kr uses conductor Fresnel
+        rs_blend=(0.0, 0.0, 0.0),  # any > 0 => Fresnel-blend diffuse lobe
     ):
         self.diffuse = np.asarray(diffuse, np.float32)
         self.glossy = np.asarray(glossy, np.float32)
@@ -123,6 +198,9 @@ class UberMaterial:
         self.roughness = float(roughness)
         self.ior = float(ior)
         self.tex = np.full((N_TEX_SLOTS,), -1, np.int32) if tex is None else np.asarray(tex, np.int32)
+        self.conductor_eta = np.asarray(conductor_eta, np.float32)
+        self.conductor_k = np.asarray(conductor_k, np.float32)
+        self.rs_blend = np.asarray(rs_blend, np.float32)
 
 
 class Lights(struct.PyTreeNode):
@@ -182,6 +260,11 @@ class TextureAtlas(struct.PyTreeNode):
     height: jax.Array  # (MAX_MIPS, T) i32
     mips: jax.Array  # (T,) i32 number of mip levels
     wrap: jax.Array  # (T,) i32 wrap mode (0=repeat,1=clamp,2=mirror,3=border)
+    # optional float texel override: when present, fetches read (and
+    # differentiate through) this (4, TEXELS) f32 array instead of the u8
+    # data — the texture-texel gradient path (inverse rendering); u8 stays
+    # the storage/serving format like the reference (``textures.cl:15``)
+    data_f: jax.Array | None = None
 
     @classmethod
     def empty(cls):
@@ -249,18 +332,29 @@ def build_scene(
     center = (lo + hi) * 0.5
     radius = float(np.linalg.norm(hi - center) + 1e-6)
 
+    pos_j = jnp.asarray(pos)
+    nrm_j = jnp.asarray(np.asarray(normals, np.float32).reshape(-1, 3))
+    uvs_j = jnp.asarray(np.asarray(uvs, np.float32).reshape(-1, 2))
+    idx_j = jnp.asarray(indices_p)
+    fshape_j = jnp.asarray(face_shape_p)
+    fvalid_j = jnp.asarray(valid)
+    smat_j = jnp.asarray(np.asarray(shape_material, np.int32))
+    slight_j = jnp.asarray(np.asarray(shape_light, np.int32))
     return Scene(
         geometry=Geometry(
-            positions=jnp.asarray(pos),
-            normals=jnp.asarray(np.asarray(normals, np.float32).reshape(-1, 3)),
-            uvs=jnp.asarray(np.asarray(uvs, np.float32).reshape(-1, 2)),
-            indices=jnp.asarray(indices_p),
-            face_shape=jnp.asarray(face_shape_p),
-            face_valid=jnp.asarray(valid),
+            positions=pos_j,
+            normals=nrm_j,
+            uvs=uvs_j,
+            indices=idx_j,
+            face_shape=fshape_j,
+            face_valid=fvalid_j,
+            face_attrs=pack_face_attrs(
+                pos_j, nrm_j, uvs_j, idx_j, fshape_j, fvalid_j, smat_j, slight_j
+            ),
         ),
         shapes=Shapes(
-            material=jnp.asarray(np.asarray(shape_material, np.int32)),
-            light=jnp.asarray(np.asarray(shape_light, np.int32)),
+            material=smat_j,
+            light=slight_j,
             to_world=jnp.tile(jnp.eye(4, dtype=jnp.float32)[None], (num_shapes, 1, 1)),
         ),
         materials=Materials.stack(materials),
