@@ -36,6 +36,10 @@ def abs_cos_theta(w):
     return jnp.abs(w[..., 1])
 
 
+TROWBRIDGE_REITZ = 0
+BECKMANN = 1
+
+
 def cos2_theta(w):
     return w[..., 1] * w[..., 1]
 
@@ -44,8 +48,15 @@ def sin2_theta(w):
     return jnp.maximum(0.0, 1.0 - cos2_theta(w))
 
 
+def _dsqrt(x, eps: float = 1e-18):
+    """sqrt with a bounded derivative at 0.  sqrt'(0) = inf poisons reverse
+    mode even under jnp.where masking (0-cotangent x inf-partial = NaN); the
+    eps shifts the value by <= 1e-9 and caps the derivative."""
+    return jnp.sqrt(jnp.maximum(x, eps))
+
+
 def sin_theta(w):
-    return jnp.sqrt(sin2_theta(w))
+    return _dsqrt(sin2_theta(w))
 
 
 def tan_theta(w):
@@ -86,7 +97,7 @@ def refract_local(wo, eta_i_over_t):
     sin2_i = jnp.maximum(0.0, 1.0 - cos_i_abs * cos_i_abs)
     sin2_t = eta_i_over_t * eta_i_over_t * sin2_i
     tir = sin2_t >= 1.0
-    cos_t = jnp.sqrt(jnp.maximum(1.0 - sin2_t, 0.0))
+    cos_t = _dsqrt(1.0 - sin2_t)
     # wi = -eta*wo + (eta*cosi - cost) * n
     wi = -eta_i_over_t[..., None] * wo + (
         (eta_i_over_t * cos_i_abs - cos_t) * n_y
@@ -107,10 +118,10 @@ def fresnel_dielectric(cos_theta_i, eta_i, eta_t):
     ei = jnp.where(entering, eta_i, eta_t)
     et = jnp.where(entering, eta_t, eta_i)
     ci = jnp.abs(jnp.clip(cos_theta_i, -1.0, 1.0))
-    sin_i = jnp.sqrt(jnp.maximum(0.0, 1.0 - ci * ci))
+    sin_i = _dsqrt(1.0 - ci * ci)
     sin_t = ei / et * sin_i
     tir = sin_t >= 1.0
-    ct = jnp.sqrt(jnp.maximum(0.0, 1.0 - sin_t * sin_t))
+    ct = _dsqrt(1.0 - sin_t * sin_t)
     r_parl = m.safe_div(et * ci - ei * ct, et * ci + ei * ct)
     r_perp = m.safe_div(ei * ci - et * ct, ei * ci + et * ct)
     f = 0.5 * (r_parl * r_parl + r_perp * r_perp)
@@ -125,9 +136,9 @@ def fresnel_conductor(cos_theta_i, eta, k):
     eta2 = eta * eta
     k2 = k * k
     t0 = eta2 - k2 - sin2
-    a2b2 = jnp.sqrt(jnp.maximum(t0 * t0 + 4.0 * eta2 * k2, 0.0))
+    a2b2 = _dsqrt(t0 * t0 + 4.0 * eta2 * k2)
     t1 = a2b2 + cos2
-    a = jnp.sqrt(jnp.maximum(0.5 * (a2b2 + t0), 0.0))
+    a = _dsqrt(0.5 * (a2b2 + t0))
     t2 = 2.0 * a * ci
     rs = m.safe_div(t1 - t2, t1 + t2)
     t3 = cos2 * a2b2 + sin2 * sin2
@@ -147,6 +158,27 @@ def fresnel_schlick(cos_theta_i, f0):
 
 def lambertian_f(albedo):
     return albedo * INV_PI
+
+
+def fresnel_blend_f(rd, rs, alpha, wo, wi, dist: int = TROWBRIDGE_REITZ):
+    """Ashikhmin-Shirley coupled diffuse + Schlick-Fresnel specular blend
+    (``evaluateFresnelBlend``, bxdfs.cl:590-605)."""
+    ci = abs_cos_theta(wi)
+    co = abs_cos_theta(wo)
+    wh = wi + wo
+    wh_len = _dsqrt(m.length_sq(wh), 1e-24)
+    ok = (ci > 0) & (co > 0) & (wh_len > 1e-12) & same_hemisphere(wo, wi)
+    wh_n = wh * m.safe_div(jnp.ones_like(wh_len), wh_len)[..., None]
+    diff = (
+        (28.0 / (23.0 * jnp.pi)) * rd * (1.0 - rs)
+        * ((1.0 - (1.0 - 0.5 * ci) ** 5) * (1.0 - (1.0 - 0.5 * co) ** 5))[..., None]
+    )
+    d = mf_d(wh_n, alpha, dist)
+    denom = 4.0 * jnp.abs(m.dot(wi, wh_n)) * jnp.maximum(ci, co)
+    spec = m.safe_div(d, denom)[..., None] * fresnel_schlick(
+        m.dot(wi, wh_n), rs
+    )
+    return jnp.where(ok[..., None], diff + spec, 0.0)
 
 
 def oren_nayar_f(albedo, sigma_deg, wo, wi):
@@ -178,9 +210,6 @@ def roughness_to_alpha(roughness):
 # ---------------------------------------------------------------------------
 # Microfacet distributions (bxdfs.cl:395-474). Isotropic alpha.
 # ---------------------------------------------------------------------------
-
-TROWBRIDGE_REITZ = 0
-BECKMANN = 1
 
 
 def tr_d(wh, alpha):
@@ -267,7 +296,7 @@ def microfacet_reflection_f(r, alpha, eta_a, eta_b, wo, wi, dist: int = TROWBRID
     ci = abs_cos_theta(wi)
     co = abs_cos_theta(wo)
     wh = wi + wo
-    wh_len = m.length(wh)
+    wh_len = _dsqrt(m.length_sq(wh), 1e-24)
     ok = (ci > 0) & (co > 0) & (wh_len > 1e-12) & same_hemisphere(wo, wi)
     wh_n = wh * m.safe_div(jnp.ones_like(wh_len), wh_len)[..., None]
     # Fresnel at the half-vector, oriented toward +y for the eta order
@@ -281,7 +310,7 @@ def microfacet_reflection_f(r, alpha, eta_a, eta_b, wo, wi, dist: int = TROWBRID
 
 def microfacet_reflection_pdf(wo, wi, alpha, dist: int = TROWBRIDGE_REITZ):
     wh = wi + wo
-    wh_len = m.length(wh)
+    wh_len = _dsqrt(m.length_sq(wh), 1e-24)
     ok = same_hemisphere(wo, wi) & (wh_len > 1e-12)
     wh_n = wh * m.safe_div(jnp.ones_like(wh_len), wh_len)[..., None]
     pdf = m.safe_div(mf_pdf_wh(wo, wh_n, alpha, dist), 4.0 * jnp.abs(m.dot(wo, wh_n)))

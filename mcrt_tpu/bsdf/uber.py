@@ -52,10 +52,20 @@ class UberBSDF(struct.PyTreeNode):
     passthrough: jax.Array  # (N, 3) = 1 - opacity
     alpha: jax.Array  # (N,) microfacet alpha (already remapped)
     eta: jax.Array  # (N,) interior IOR (exterior = 1)
+    conductor_eta: jax.Array  # (N, 3) conductor Fresnel eta (kr lobe)
+    conductor_k: jax.Array  # (N, 3) conductor absorption; any>0 => conductor
+    rs_blend: jax.Array  # (N, 3) any>0 => Fresnel-blend replaces Lambertian
     dist: int = struct.field(pytree_node=False, default=bx.TROWBRIDGE_REITZ)
 
+    def is_fresnel_blend(self):
+        return jnp.any(self.rs_blend > 0.0, -1)
+
+    def is_conductor(self):
+        return jnp.any(self.conductor_k > 0.0, -1)
+
     def lobe_masks(self):
-        """(N, 5) bool — which lobes are present (isNotBlack per color)."""
+        """(N, 5) bool — which lobes are present (isNotBlack per color).
+        Lobe 0 covers both Lambertian and its Fresnel-blend replacement."""
         return jnp.stack(
             [
                 jnp.any(self.diffuse > 0.0, -1),
@@ -98,7 +108,12 @@ def evaluate(bsdf: UberBSDF, wo: jax.Array, wi: jax.Array) -> jax.Array:
     """Sum of non-delta lobes (``evaluateUberBSDF``, bxdfs.cl:804-827).
     Reflection-only: the uber material's non-delta transmission is zero."""
     refl = bx.same_hemisphere(wo, wi)
-    f_diff = bx.lambertian_f(bsdf.diffuse)
+    fb = bsdf.is_fresnel_blend()
+    f_lam = bx.lambertian_f(bsdf.diffuse)
+    f_blend = bx.fresnel_blend_f(
+        bsdf.diffuse, bsdf.rs_blend, bsdf.alpha, wo, wi, bsdf.dist
+    )
+    f_diff = jnp.where(fb[..., None], f_blend, f_lam)
     f_gloss = bx.microfacet_reflection_f(
         bsdf.glossy, bsdf.alpha, jnp.ones_like(bsdf.eta), bsdf.eta, wo, wi, bsdf.dist
     )
@@ -194,7 +209,15 @@ def sample(bsdf: UberBSDF, wo: jax.Array, u3: jax.Array,
     # delta-lobe f values (f includes the 1/|cos| so that f*cos/pdf is exact).
     # fresnel_dielectric swaps etas internally on signed cos, so pass (1, eta).
     fr_r = bx.fresnel_dielectric(bx.cos_theta(wo), jnp.ones_like(bsdf.eta), bsdf.eta)
-    f_specr = bsdf.kr * (fr_r / abs_ci)[..., None]
+    # conductor Fresnel for metallic kr (per-channel; any k>0 switches —
+    # sampleSpecularReflection_Conductor, bxdfs.cl:272-281)
+    fr_cond = bx.fresnel_conductor(
+        bx.cos_theta(wo), bsdf.conductor_eta, bsdf.conductor_k
+    )
+    fr_r3 = jnp.where(
+        bsdf.is_conductor()[..., None], fr_cond, fr_r[..., None]
+    )
+    f_specr = bsdf.kr * fr_r3 / abs_ci[..., None]
     # radiance-transport eta^2 scaling for transmission (bxdfs.cl:288-307)
     eta_scale = (eta_i / eta_t) ** 2
     f_spect = bsdf.kt * ((1.0 - fr_r) * eta_scale / abs_ci)[..., None]

@@ -17,6 +17,9 @@ def _bsdf(n, **kw):
         passthrough=jnp.zeros((n, 3)),
         alpha=jnp.full((n,), 0.1),
         eta=jnp.full((n,), 1.5),
+        conductor_eta=jnp.zeros((n, 3)),
+        conductor_k=jnp.zeros((n, 3)),
+        rs_blend=jnp.zeros((n, 3)),
     )
     for k, v in kw.items():
         d[k] = v
@@ -151,3 +154,65 @@ def test_pdf_integrates_to_one():
     bsdf_d = jax.tree.map(lambda a: jnp.broadcast_to(a, (n,) + a.shape[1:]), bsdf_d)
     est_d = float(jnp.mean(uber.pdf(bsdf_d, wo, wi))) * 4 * np.pi
     assert abs(est_d - 1.0) < 0.02, est_d
+
+
+def test_conductor_fresnel_kr_lobe():
+    """any(conductor_k > 0) switches the mirror lobe to per-channel
+    conductor Fresnel (sampleSpecularReflection_Conductor,
+    bxdfs.cl:272-281): tinted reflectance, still energy-bounded."""
+    n = 4096
+    eta = jnp.tile(jnp.asarray([[0.2, 0.92, 1.1]], jnp.float32), (n, 1))
+    k = jnp.tile(jnp.asarray([[3.9, 2.45, 2.14]], jnp.float32), (n, 1))  # gold
+    bsdf = _bsdf(n, kr=jnp.ones((n, 3)), conductor_eta=eta, conductor_k=k)
+    u3 = jax.random.uniform(jax.random.PRNGKey(7), (n, 3))
+    wo = _wo(n)
+    bs = uber.sample(bsdf, wo, u3)
+    assert bool(bs.is_specular.all())
+    # throughput weight = f*cos/pdf = kr * F_conductor (mirror)
+    w = bs.f * jnp.abs(bx.cos_theta(bs.wi))[..., None] / bs.pdf[..., None]
+    w = np.asarray(jnp.where(bs.valid[..., None], w, 0.0))
+    ref = np.asarray(bx.fresnel_conductor(bx.cos_theta(wo), eta, k))
+    np.testing.assert_allclose(w, ref, rtol=1e-5, atol=1e-6)
+    # gold tints: red reflectance far above blue at this geometry
+    assert w[0, 0] > w[0, 2] * 1.2
+    assert (w <= 1.0 + 1e-5).all()
+
+
+def test_conductor_matches_dielectric_when_k_zero():
+    """k = 0 keeps the original dielectric mirror behavior."""
+    n = 256
+    b_d = _bsdf(n, kr=jnp.ones((n, 3)))
+    b_c = _bsdf(n, kr=jnp.ones((n, 3)),
+                conductor_eta=jnp.full((n, 3), 1.5),
+                conductor_k=jnp.zeros((n, 3)))
+    u3 = jax.random.uniform(jax.random.PRNGKey(8), (n, 3))
+    f1 = uber.sample(b_d, _wo(n), u3).f
+    f2 = uber.sample(b_c, _wo(n), u3).f
+    np.testing.assert_allclose(np.asarray(f1), np.asarray(f2), rtol=1e-6)
+
+
+def test_fresnel_blend_lobe():
+    """any(rs_blend > 0) replaces Lambertian with the Ashikhmin-Shirley
+    blend (evaluateFresnelBlend, bxdfs.cl:590-605): reciprocal, grazing
+    specular boost, white-furnace bounded."""
+    n = 200_000
+    rd = jnp.full((n, 3), 0.5)
+    rs = jnp.full((n, 3), 0.08)
+    bsdf = _bsdf(n, diffuse=rd, rs_blend=rs, alpha=jnp.full((n,), 0.2))
+    u3 = jax.random.uniform(jax.random.PRNGKey(9), (n, 3))
+    wo = _wo(n)
+    bs = uber.sample(bsdf, wo, u3)
+    # energy: integral of f cos <= 1 (blend is energy conserving for
+    # rd*(1-rs)+rs <= 1)
+    w = bs.f * m.safe_div(jnp.abs(bx.cos_theta(bs.wi)), bs.pdf)[..., None]
+    est = float(jnp.mean(jnp.where(bs.valid[..., None], w, 0.0)))
+    assert 0.0 < est < 1.0, est
+    # blend differs from plain Lambertian (specular term adds energy)
+    lam = uber.evaluate(_bsdf(4, diffuse=rd[:4]), wo[:4], wo[:4])
+    blend = uber.evaluate(bsdf, wo, wo)[:4]
+    assert float(jnp.abs(blend - lam).max()) > 1e-4
+    # reciprocity: f(wo, wi) == f(wi, wo)
+    wi = m.normalize(jnp.asarray([[0.3, 0.8, 0.1]] * 4, jnp.float32))
+    f_ab = uber.evaluate(jax.tree.map(lambda a: a[:4], bsdf), wo[:4], wi)
+    f_ba = uber.evaluate(jax.tree.map(lambda a: a[:4], bsdf), wi, wo[:4])
+    np.testing.assert_allclose(np.asarray(f_ab), np.asarray(f_ba), rtol=1e-5)
