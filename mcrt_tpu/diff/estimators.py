@@ -74,6 +74,56 @@ def full_params() -> ParamView:
     )
 
 
+def light_geometry_params() -> ParamView:
+    """Light position + direction (point/directional/disk lights).  The NEE
+    estimator is reparameterized — the sampled light point moves
+    differentiably with these parameters (module docstring), so gradients
+    flow through Li = I/d², the d²/(cosθA) pdf, and the sampled direction.
+    Visibility stays a detached discrete event."""
+
+    def _set(s: Scene, p) -> Scene:
+        d = p["direction"]
+        d = d / jnp.maximum(jnp.linalg.norm(d, axis=-1, keepdims=True), 1e-12)
+        return s.replace(
+            lights=s.lights.replace(position=p["position"], direction=d)
+        )
+
+    return ParamView(
+        get=lambda s: {
+            "position": s.lights.position,
+            "direction": s.lights.direction,
+        },
+        set=_set,
+    )
+
+
+def with_float_texels(scene: Scene) -> Scene:
+    """Populate the differentiable float texel override from the u8 atlas
+    (prerequisite for ``texture_params``)."""
+    tex = scene.textures
+    if tex.num == 0 or tex.data_f is not None:
+        return scene
+    return scene.replace(
+        textures=tex.replace(data_f=tex.data.astype(jnp.float32) / 255.0)
+    )
+
+
+def texture_params() -> ParamView:
+    """Per-texel atlas view (all textures + their mip chains).  Bilinear /
+    trilinear filtering is linear in the texels, so gradients distribute
+    over the 4 (or 8) footprint corners with the filter weights.  Note the
+    mip levels optimize independently in v1 (no downsample consistency
+    constraint).  Call :func:`with_float_texels` on the scene first."""
+    return ParamView(
+        get=lambda s: {"texels": s.textures.data_f},
+        set=lambda s, p: s.replace(
+            textures=s.textures.replace(
+                data_f=jnp.clip(p["texels"], 0.0, 1.0)
+            )
+        ),
+    )
+
+
 def render_loss_fn(
     camera: PinholeCamera,
     cfg: RenderConfig,

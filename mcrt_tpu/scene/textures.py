@@ -113,7 +113,11 @@ def _fetch_texel(atlas: TextureAtlas, off: jax.Array, w: jax.Array,
     xw = _wrap_coord(x, w, mode)
     yw = _wrap_coord(y, h, mode)
     idx = off + yw * w + xw
-    texel = jnp.take(atlas.data, idx, axis=1).astype(jnp.float32) / 255.0  # (4, N)
+    if atlas.data_f is not None:
+        # differentiable float texels (texture-parameter gradients)
+        texel = jnp.take(atlas.data_f, idx, axis=1)  # (4, N)
+    else:
+        texel = jnp.take(atlas.data, idx, axis=1).astype(jnp.float32) / 255.0
     border = (mode == WRAP_BORDER) & ~xin
     return jnp.where(border[None, :], 0.0, texel)
 
