@@ -138,8 +138,26 @@ def build_blocked(geom: Geometry,
     prim_ids = np.nonzero(valid)[0].astype(np.int32)
     tri_idx = idx[prim_ids]
 
+    # SBVH: spatial-split reference decomposition (SplitBvh analogue,
+    # split_bvh.h:30-45) — straddling triangles are referenced from more
+    # than one block with plane-clipped bounds, so block AABBs stay tight
+    # for long skinny geometry.  Duplicated refs are harmless to the
+    # closest/any-hit kernels (the full triangle is tested per ref).
+    if cfg.builder == BuilderType.SBVH:
+        try:
+            from ..runtime.native import sbvh_block_refs
+
+            sbvh = sbvh_block_refs(
+                pos, tri_idx, BLOCK, cfg.sah_bins, cfg.max_split_depth,
+                cfg.min_overlap, cfg.extra_refs_budget,
+            )
+        except ImportError:
+            sbvh = None
+        if sbvh is not None:
+            return _pack_ref_blocks(prim_ids, tri_idx, pos, *sbvh)
+
     sah = None
-    if cfg.builder == BuilderType.SAH:
+    if cfg.builder in (BuilderType.SAH, BuilderType.SBVH):
         try:
             from ..runtime.native import sah_block_order
 
@@ -221,6 +239,66 @@ def build_blocked(geom: Geometry,
         bounds = np.stack([pmin[rm].min(0), pmax[rm].max(0)]).astype(np.float32)
     else:
         bounds = np.stack([pmin.min(0), pmax.max(0)]).astype(np.float32)
+    return BlockedAccel(
+        tri=jnp.asarray(tri),
+        aabb=jnp.asarray(aabb),
+        slot_prim=jnp.asarray(slot_prim),
+        bounds=jnp.asarray(bounds),
+        num_blocks=nb,
+    )
+
+
+def _pack_ref_blocks(prim_ids, tri_idx, pos, ref_tri, ref_bounds, bstart):
+    """Pack an SBVH reference decomposition into the fixed-block accel
+    layout.  Block AABBs come from the CLIPPED per-ref bounds (the SBVH
+    payoff); the MT kernel still tests full triangles, which is correct —
+    a hit found from any ref of a triangle is a true hit."""
+    # greedily merge consecutive leaves into fuller 128-slot blocks
+    merged = [0]
+    for b in range(len(bstart) - 1):
+        if bstart[b + 1] - merged[-1] > BLOCK:
+            merged.append(bstart[b])
+    merged.append(int(bstart[-1]))
+    bstart = np.asarray(merged)
+    nb = len(bstart) - 1
+    slots = np.full((nb * BLOCK,), -1, np.int64)
+    for b in range(nb):
+        s0, e0 = bstart[b], bstart[b + 1]
+        slots[b * BLOCK: b * BLOCK + (e0 - s0)] = np.arange(s0, e0)
+    filled = slots >= 0
+    src = np.clip(slots, 0, None)  # ref index per slot
+    t_of = ref_tri[src]  # local tri index per slot
+    p0 = np.where(filled[:, None], pos[tri_idx[t_of, 0]], 0.0)
+    p1 = np.where(filled[:, None], pos[tri_idx[t_of, 1]], 0.0)
+    p2 = np.where(filled[:, None], pos[tri_idx[t_of, 2]], 0.0)
+    slot_ids = np.where(filled, prim_ids[t_of], -1).astype(np.int32)
+    n = len(slots)
+
+    nt = max(BLOCK, -(-n // BLOCK) * BLOCK)
+    tri = np.zeros((16, nt), np.float32)
+    tri[0:3, :n] = p0.T
+    tri[3:6, :n] = (p1 - p0).T
+    tri[6:9, :n] = (p2 - p0).T
+
+    nbpad = max(128, -(-nb // 128) * 128)
+    aabb = np.empty((nbpad, 8), np.float32)
+    aabb[:, 0:3] = BIG
+    aabb[:, 3:6] = -BIG
+    aabb[:, 6:8] = 0.0
+    for b in range(nb):
+        s0, e0 = bstart[b], bstart[b + 1]
+        if e0 > s0:
+            rb = ref_bounds[s0:e0]
+            aabb[b, 0:3] = rb[:, 0:3].min(0)
+            aabb[b, 3:6] = rb[:, 3:6].max(0)
+    empty = aabb[:, 0] > aabb[:, 3]
+    aabb[empty, 0:6] = np.nan
+
+    slot_prim = np.full((nt,), -1, np.int32)
+    slot_prim[:n] = slot_ids
+    bounds = np.stack(
+        [ref_bounds[:, 0:3].min(0), ref_bounds[:, 3:6].max(0)]
+    ).astype(np.float32)
     return BlockedAccel(
         tri=jnp.asarray(tri),
         aabb=jnp.asarray(aabb),

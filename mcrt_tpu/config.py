@@ -53,11 +53,13 @@ class AccelType(str, enum.Enum):
 
 
 class BuilderType(str, enum.Enum):
-    """BVH builder: device LBVH (cf. ``hlbvh.cpp``) or host binned-SAH
-    (cf. ``bvh.cpp`` FindSahSplit)."""
+    """BVH builder: device LBVH (cf. ``hlbvh.cpp``), host binned-SAH
+    (cf. ``bvh.cpp`` FindSahSplit), or host SBVH with spatial splits
+    (cf. ``split_bvh.h:30-45``)."""
 
     LBVH = "lbvh"
     SAH = "sah"
+    SBVH = "sbvh"
 
 
 @dataclass(frozen=True)
@@ -92,6 +94,10 @@ class BVHConfig:
     max_leaf_size: int = 2  # 2 activates the unified single-gather traversal table
     # traversal
     stack_depth: int = 64
+    # SBVH spatial-split knobs (split_bvh.h:30-45 analogues)
+    max_split_depth: int = 16  # spatial splits allowed above this depth
+    min_overlap: float = 1e-5  # L/R overlap area fraction that triggers them
+    extra_refs_budget: float = 0.5  # duplicated references <= budget * ntri
 
 
 @dataclass(frozen=True)

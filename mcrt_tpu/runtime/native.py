@@ -74,6 +74,16 @@ def get_lib() -> ctypes.CDLL | None:
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int32,
             ctypes.c_int32, ctypes.c_int32, ctypes.c_void_p, ctypes.c_void_p,
         ]
+        lib.sbvh_build_blocks.restype = ctypes.c_int64
+        lib.sbvh_build_blocks.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int32,
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_float, ctypes.c_float,
+        ]
+        lib.sbvh_fetch.restype = ctypes.c_int32
+        lib.sbvh_fetch.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+        ]
         _lib = lib
         return _lib
 
@@ -148,3 +158,38 @@ def sah_block_order(
         order.ctypes.data, block_start.ctypes.data,
     )
     return order, block_start[: nb + 1]
+
+
+def sbvh_block_refs(
+    positions: np.ndarray, indices: np.ndarray, block_size: int = 128,
+    bins: int = 16, max_split_depth: int = 16, min_overlap: float = 1e-5,
+    extra_refs_budget: float = 0.5,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray] | None:
+    """SBVH (spatial-split) block decomposition — ``SplitBvh`` analogue
+    (``split_bvh.h:30-45``): returns (ref_tri (n_refs,), ref_bounds
+    (n_refs, 6) lo/hi clipped boxes, block_start (n_blocks+1,)).  Straddling
+    triangles may be referenced from more than one block with plane-clipped
+    bounds; n_refs <= ntri * (1 + extra_refs_budget)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    positions = np.ascontiguousarray(positions, np.float32)
+    indices = np.ascontiguousarray(indices, np.int32)
+    ntri = indices.shape[0]
+    with _lock:  # the two-phase fetch uses library-global result state
+        n_refs = lib.sbvh_build_blocks(
+            positions.ctypes.data, indices.ctypes.data, ntri, block_size,
+            bins, max_split_depth, min_overlap, extra_refs_budget,
+        )
+        if n_refs <= 0:
+            return None
+        ref_tri = np.empty((n_refs,), np.int32)
+        ref_bounds = np.empty((n_refs, 6), np.float32)
+        block_start = np.empty((n_refs + 2,), np.int32)
+        nb = lib.sbvh_fetch(
+            ref_tri.ctypes.data, ref_bounds.ctypes.data,
+            block_start.ctypes.data,
+        )
+    if nb <= 0:
+        return None
+    return ref_tri, ref_bounds, block_start[: nb + 1]

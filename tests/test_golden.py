@@ -1,0 +1,59 @@
+"""Golden-image regression tests over the cornell-box OBJ fixtures.
+
+The reference pins intersection behavior against OBJ fixtures with fixed
+seeds (``radeon_rays_conformance_test_cl.h:78-150``); here the whole
+renderer is pinned: fixed-seed renders of the five public cornell fixtures
+must match the committed goldens (BASELINE config 1's image-allclose gate).
+
+Tolerances: renders are deterministic per platform; a loose mean-relative
+gate absorbs cross-platform FP drift while still failing on any sampling,
+estimator, or material regression (which shift whole regions, not ulps).
+
+One fixture additionally runs on the BLOCKED accel (interpret mode on CPU)
+so integrator-pattern bugs in the Pallas kernels (offset tmin, shadow rays,
+dead lanes) cannot slip through CPU CI.
+"""
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pytest
+
+from tests.golden_config import FIXTURE_DIR, GOLDEN_DIR, SCENES, render_fixture
+
+needs_fixtures = pytest.mark.skipif(
+    not os.path.isdir(FIXTURE_DIR), reason="reference fixtures not present"
+)
+
+
+def _load_golden(name: str) -> np.ndarray:
+    path = os.path.join(GOLDEN_DIR, f"{name}.npz")
+    if not os.path.exists(path):
+        pytest.fail(f"golden missing: run tools/make_goldens.py ({path})")
+    return np.load(path)["image"].astype(np.float32)
+
+
+def _check(img: np.ndarray, ref: np.ndarray, tol: float):
+    assert img.shape == ref.shape
+    assert np.isfinite(img).all()
+    scale = max(float(ref.mean()), 1e-6)
+    rel = np.abs(img - ref).mean() / scale
+    assert rel < tol, f"mean-relative error {rel:.4f} >= {tol}"
+
+
+@needs_fixtures
+@pytest.mark.parametrize("name", sorted(SCENES))
+def test_golden_fixture(name):
+    img = render_fixture(name)
+    _check(img, _load_golden(name), tol=0.02)
+
+
+@needs_fixtures
+def test_golden_original_blocked_accel():
+    """Same render through the production TPU accel (interpreted on CPU):
+    the Pallas path must reproduce the brute-force image."""
+    from mcrt_tpu.config import AccelType
+
+    img = render_fixture("CornellBox-Original", accel=AccelType.BLOCKED)
+    _check(img, _load_golden("CornellBox-Original"), tol=0.02)

@@ -113,3 +113,44 @@ def test_sah_blocked_accel_conformance():
     tb = jnp.where(hb.valid, hb.t, 0.0)
     tp = jnp.where(hp.valid, hp.t, 0.0)
     assert bool(jnp.allclose(tb, tp, rtol=1e-5, atol=1e-6))
+
+
+def test_sbvh_blocked_accel_conformance():
+    """SBVH (spatial splits, split_bvh.h:30-45 analogue) must agree with
+    the brute oracle on a multi-block scene; straddling triangles may be
+    referenced from several blocks, which must not change any hit."""
+    import jax.numpy as jnp
+
+    from mcrt_tpu.accel.brute import intersect_brute, occluded_brute
+    from mcrt_tpu.accel.pallas_blocked import (
+        build_blocked, intersect_blocked, occluded_blocked,
+    )
+    from mcrt_tpu.config import BVHConfig, BuilderType
+    from mcrt_tpu.scene.builders import glass_gallery
+    from mcrt_tpu.core.types import Rays
+
+    scene, _ = glass_gallery()
+    nfaces = int(np.asarray(scene.geometry.face_valid).sum())
+    acc = build_blocked(scene.geometry, BVHConfig(builder=BuilderType.SBVH))
+    n_refs = int((np.asarray(acc.slot_prim) >= 0).sum())
+    assert n_refs >= nfaces  # duplicated references allowed, none lost
+    assert len(np.unique(np.asarray(acc.slot_prim)[
+        np.asarray(acc.slot_prim) >= 0])) == nfaces
+
+    rng = np.random.RandomState(11)
+    n = 1024
+    pos = np.asarray(scene.geometry.positions)
+    lo, hi = pos.min(0), pos.max(0)
+    o = rng.uniform(-1, 1, (n, 3)) * (hi - lo) * 0.8 + (lo + hi) / 2
+    d = rng.normal(size=(n, 3))
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    rays = Rays.make(jnp.asarray(o, jnp.float32), jnp.asarray(d, jnp.float32))
+    hb = intersect_brute(scene.geometry, rays)
+    hp = intersect_blocked(scene.geometry, acc, rays)
+    assert bool((hb.valid == hp.valid).all())
+    tb = jnp.where(hb.valid, hb.t, 0.0)
+    tp = jnp.where(hp.valid, hp.t, 0.0)
+    assert bool(jnp.allclose(tb, tp, rtol=1e-4, atol=1e-5))
+    ob = occluded_brute(scene.geometry, rays)
+    op = occluded_blocked(scene.geometry, acc, rays)
+    assert bool((ob == op).all())

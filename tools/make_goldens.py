@@ -1,0 +1,38 @@
+"""Generate the committed golden images for tests/test_golden.py.
+
+Renders the five cornell-box OBJ fixtures (public-domain McGuire archive,
+vendored by the reference at ``assets/meshes/cornell-box``) at fixed seed /
+resolution / spp on the CPU backend and stores float16 radiance images.
+
+Run from the repo root:  python tools/make_goldens.py
+Regenerate ONLY when an intentional change alters converged output; the
+test tolerances absorb cross-platform numeric drift but not sampling or
+estimator changes.
+"""
+from __future__ import annotations
+
+import os
+import sys
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np  # noqa: E402
+
+from tests.golden_config import FIXTURE_DIR, GOLDEN_DIR, SCENES, render_fixture  # noqa: E402
+
+
+def main():
+    os.makedirs(GOLDEN_DIR, exist_ok=True)
+    for name in SCENES:
+        img = render_fixture(name)
+        path = os.path.join(GOLDEN_DIR, f"{name}.npz")
+        np.savez_compressed(path, image=img.astype(np.float16))
+        print(f"{name}: mean {img.mean():.4f} -> {path}")
+
+
+if __name__ == "__main__":
+    main()
