@@ -1,0 +1,104 @@
+"""Two-level (instanced) intersection vs the baked-out oracle.
+
+The reference's two-level conformance contract: instanced traversal must
+return the same hits as intersecting the flattened world-space copies
+(``intersector_2level.cpp`` vs the single-level path), reporting the
+instance's shape id and the SHARED mesh's prim id.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mcrt_tpu.accel.brute import intersect_brute, occluded_brute
+from mcrt_tpu.accel.two_level import (
+    build_two_level, intersect_two_level, occluded_two_level,
+)
+from mcrt_tpu.core.types import Rays
+from mcrt_tpu.scene.builders import SceneBuffers, icosphere
+from mcrt_tpu.scene.dynamic import rotation_y, scale, translation
+from mcrt_tpu.scene.scene import UberMaterial, build_scene
+
+
+def _setup():
+    pos, idx, _ = icosphere((0.0, 0.0, 0.0), 0.5, subdiv=2)
+    # source geometry (object space) as a Geometry via build_scene
+    sb = SceneBuffers()
+    sb.add_mesh(pos, idx, 0)
+    positions, normals, uvs, indices, face_shape, shape_mat, shape_light = sb.concat()
+    src_scene = build_scene(positions, normals, uvs, indices, face_shape,
+                            shape_mat, [UberMaterial(diffuse=(0.5,) * 3)])
+    source = src_scene.geometry
+
+    t0 = translation((-0.8, 0.0, 0.0))
+    t1 = translation((0.9, 0.2, -0.3)) @ rotation_y(0.7) @ scale(0.6)
+    t2 = translation((0.0, -0.6, 0.5)) @ scale((1.4, 0.5, 0.9))
+    to_world = np.stack([t0, t1, t2])
+    accel = build_two_level(source, to_world, np.asarray([3, 7, 9]))
+
+    # baked oracle: world-space copies in one soup
+    sb2 = SceneBuffers()
+    for t in (t0, t1, t2):
+        p = pos @ t[:3, :3].T + t[:3, 3]
+        sb2.add_mesh(p, idx, 0)
+    positions, normals, uvs, indices, face_shape, shape_mat, shape_light = sb2.concat()
+    baked = build_scene(positions, normals, uvs, indices, face_shape,
+                        shape_mat, [UberMaterial(diffuse=(0.5,) * 3)])
+    return source, accel, baked
+
+
+def _random_rays(n, seed=0):
+    rng = np.random.RandomState(seed)
+    o = rng.uniform(-2.5, 2.5, (n, 3)).astype(np.float32)
+    d = rng.normal(size=(n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    return Rays.make(jnp.asarray(o), jnp.asarray(d))
+
+
+def test_two_level_closest_matches_baked():
+    source, accel, baked = _setup()
+    rays = _random_rays(2048)
+    h2 = jax.jit(lambda r: intersect_two_level(source, accel, r))(rays)
+    hb = intersect_brute(baked.geometry, rays)
+    assert bool((h2.valid == hb.valid).all())
+    m = np.asarray(h2.valid)
+    np.testing.assert_allclose(
+        np.asarray(h2.t)[m], np.asarray(hb.t)[m], rtol=2e-4, atol=2e-4
+    )
+    # shape ids = the instance table's ids; baked soup numbers shapes 0..2
+    inst_of = {3: 0, 7: 1, 9: 2}
+    s2 = np.asarray(h2.shape)[m]
+    sb = np.asarray(hb.shape)[m]
+    agree = np.asarray([inst_of[s] for s in s2]) == sb
+    # coplanar/overlapping-instance ties may pick either copy at equal t
+    assert agree.mean() > 0.99
+    # prim indexes the SHARED source mesh: same face count per instance
+    f_src = int(np.asarray(source.face_valid).sum())
+    assert (np.asarray(h2.prim)[m] < f_src).all()
+    # and the baked prim modulo the per-instance face block must agree
+    # where the shape agrees (the soup concatenates f_src faces per
+    # instance, padding only at the very end)
+    np.testing.assert_array_equal(
+        np.asarray(h2.prim)[m][agree], (np.asarray(hb.prim)[m] % f_src)[agree]
+    )
+
+
+def test_two_level_occlusion_matches_baked():
+    source, accel, baked = _setup()
+    rays = _random_rays(1024, seed=3)
+    b2 = jax.jit(lambda r: occluded_two_level(source, accel, r))(rays)
+    bb = occluded_brute(baked.geometry, rays)
+    assert bool((b2 == bb).all())
+
+
+def test_two_level_memory_sharing():
+    """The point of instancing: accel memory is one BLAS regardless of
+    instance count (vs the bake-out's linear growth)."""
+    source, accel, baked = _setup()
+    blas_bytes = sum(
+        np.asarray(x).nbytes
+        for x in (accel.blas.tri, accel.blas.aabb, accel.blas.slot_prim)
+    )
+    baked_face_bytes = np.asarray(baked.geometry.face_attrs).nbytes
+    # 3 instances: baked face table alone already outweighs the shared BLAS
+    assert baked_face_bytes > 2 * blas_bytes / 3
+    assert accel.world_to_object.shape == (3, 4, 4)
