@@ -28,8 +28,24 @@ import functools
 import jax
 import jax.numpy as jnp
 import numpy as np
+from flax import struct
 from jax.sharding import Mesh, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+
+try:
+    import inspect as _inspect
+
+    from jax import shard_map as _shard_map
+
+    if "check_rep" in _inspect.signature(_shard_map).parameters:
+        shard_map = _shard_map
+    else:
+        def shard_map(f, *, mesh, in_specs, out_specs, check_rep=True):
+            # jax >= 0.8 renamed/removed check_rep; replication checking is
+            # simply off for these manually-specced regions
+            return _shard_map(f, mesh=mesh, in_specs=in_specs,
+                              out_specs=out_specs, check_vma=False)
+except ImportError:  # older jax
+    from jax.experimental.shard_map import shard_map
 
 from ..core.types import Hit, Rays
 from ..scene.scene import Geometry
@@ -71,23 +87,84 @@ def shard_faces(geom: Geometry, n_shards: int) -> Geometry:
     sel[:n] = order
     ok[:n] = True
     # NOTE: contiguous fill: shard i gets Morton range [i*fpad, (i+1)*fpad)
+    from ..scene.scene import FA_LIGHT, FA_MAT
+
     new_indices = idx[sel]
     new_shape = np.asarray(geom.face_shape)[sel]
+    # face_attrs rows follow the face reorder; padding rows get id -1
+    new_attrs = np.asarray(geom.face_attrs)[sel]
+    new_attrs[~ok, FA_MAT] = -1.0
+    new_attrs[~ok, FA_LIGHT] = -1.0
     return geom.replace(
         indices=jnp.asarray(new_indices),
         face_shape=jnp.asarray(np.where(ok, new_shape, -1).astype(np.int32)),
         face_valid=jnp.asarray(ok),
+        face_attrs=jnp.asarray(new_attrs),
     )
 
 
-def _local_intersect(geom_shard: Geometry, rays: Rays, base_prim: jax.Array,
-                     best: Hit) -> Hit:
-    """Brute-force the local face shard, merging into the running best.
-    (On-TPU production path can swap in the Pallas blocked kernel here; the
-    ring logic is identical.)"""
-    from ..accel.brute import intersect_brute
+class ShardedBlockedAccel(struct.PyTreeNode):
+    """Per-shard blocked accels stacked on a leading shard axis (sharded
+    ``P(rays)`` so each device holds exactly its own shard's tables) — the
+    role of the per-GPU BVH the reference can never split
+    (``intersector_skip_links.cpp:133-268`` uploads ONE node buffer)."""
 
-    h = intersect_brute(geom_shard, rays)
+    tri: jax.Array  # (nd, 16, NTmax)
+    aabb: jax.Array  # (nd, NBmax, 8)
+    slot_prim: jax.Array  # (nd, NTmax)
+    bounds: jax.Array  # (2, 3) GLOBAL scene bounds (replicated sort key)
+    num_blocks: int = struct.field(pytree_node=False)
+
+
+def _build_shard_accels(geom: Geometry, n_shards: int, fpad: int,
+                        cfg=None) -> ShardedBlockedAccel:
+    """Host build: one blocked accel per contiguous face shard, padded to
+    common shapes.  Padding blocks carry NaN AABBs (never visited) and
+    padding slots carry degenerate triangles + prim id -1."""
+    from ..accel.pallas_blocked import BLOCK, build_blocked
+
+    accels = []
+    for s in range(n_shards):
+        sl = slice(s * fpad, (s + 1) * fpad)
+        sub = geom.replace(
+            indices=geom.indices[sl],
+            face_shape=geom.face_shape[sl],
+            face_valid=geom.face_valid[sl],
+            face_attrs=geom.face_attrs[sl],
+        )
+        if bool(np.asarray(sub.face_valid).any()):
+            accels.append(build_blocked(sub, cfg))
+        else:
+            accels.append(None)
+
+    nt = max((a.tri.shape[1] for a in accels if a is not None),
+             default=BLOCK)
+    nb = max((a.aabb.shape[0] for a in accels if a is not None),
+             default=128)
+    tris = np.zeros((n_shards, 16, nt), np.float32)
+    aabbs = np.full((n_shards, nb, 8), np.nan, np.float32)
+    slots = np.full((n_shards, nt), -1, np.int32)
+    lo = np.full((3,), np.inf, np.float32)
+    hi = np.full((3,), -np.inf, np.float32)
+    for s, a in enumerate(accels):
+        if a is None:
+            continue
+        tris[s, :, : a.tri.shape[1]] = np.asarray(a.tri)
+        aabbs[s, : a.aabb.shape[0]] = np.asarray(a.aabb)
+        slots[s, : a.slot_prim.shape[0]] = np.asarray(a.slot_prim)
+        b = np.asarray(a.bounds)
+        lo = np.minimum(lo, b[0])
+        hi = np.maximum(hi, b[1])
+    return ShardedBlockedAccel(
+        tri=jnp.asarray(tris),
+        aabb=jnp.asarray(aabbs),
+        slot_prim=jnp.asarray(slots),
+        bounds=jnp.asarray(np.stack([lo, hi])),
+        num_blocks=nt // BLOCK,
+    )
+
+
+def _merge_best(h: Hit, best: Hit, base_prim) -> Hit:
     better = h.valid & (h.t < best.t)
     return Hit(
         t=jnp.where(better, h.t, best.t),
@@ -99,21 +176,74 @@ def _local_intersect(geom_shard: Geometry, rays: Rays, base_prim: jax.Array,
     )
 
 
-def make_ring_intersector(mesh: Mesh, n_shards: int, fpad: int):
+def make_ring_intersector(mesh: Mesh, n_shards: int, fpad: int,
+                          accel: "ShardedBlockedAccel | None" = None):
     """Build (intersect, occluded) closures running the ray ring over the
-    ``rays`` mesh axis.  `fpad` is the per-shard face count (static)."""
+    ``rays`` mesh axis.  `fpad` is the per-shard face count (static).
+
+    With ``accel``, each ring step runs the production Pallas blocked
+    kernel over the local shard (never O(N) — the round-1..2 brute-force
+    placeholder is kept only as the ``accel=None`` fallback/oracle).  Rays
+    are coherence-sorted ONCE before entering the ring (the sort key uses
+    global scene bounds, so it is shard-invariant and travels with the
+    block)."""
     axis = RAYS_AXIS
 
+    def _local_geom(indices, face_shape, face_valid, face_attrs, positions,
+                    normals, uvs):
+        return Geometry(
+            positions=positions, normals=normals, uvs=uvs,
+            indices=indices, face_shape=face_shape, face_valid=face_valid,
+            face_attrs=face_attrs,
+        )
+
+    def _geom_specs():
+        return (P(axis, None), P(axis), P(axis), P(axis, None),
+                P(), P(), P())
+
+    def _geom_args(geom):
+        return (geom.indices, geom.face_shape, geom.face_valid,
+                geom.face_attrs, geom.positions, geom.normals, geom.uvs)
+
+    def _local_accel(tri, aabb, slot_prim):
+        from ..accel.pallas_blocked import BlockedAccel
+
+        return BlockedAccel(
+            tri=tri[0], aabb=aabb[0], slot_prim=slot_prim[0],
+            bounds=accel.bounds, num_blocks=accel.num_blocks,
+        )
+
+    _ray_spec = jax.tree.map(
+        lambda _: P(axis), Rays(o=0, d=0, tmin=0, tmax=0, active=0)
+    )
+
     def ring_intersect(geom: Geometry, rays: Rays) -> Hit:
-        def spmd(indices, face_shape, face_valid, positions, normals, uvs,
-                 rays_local: Rays) -> Hit:
+        def spmd(*args) -> Hit:
+            if accel is not None:
+                tri, aabb, slot_prim = args[0], args[1], args[2]
+                geo_args, rays_local = args[3:-1], args[-1]
+                local_accel = _local_accel(tri, aabb, slot_prim)
+            else:
+                geo_args, rays_local = args[:-1], args[-1]
+                local_accel = None
+            local_geom = _local_geom(*geo_args)
             me = jax.lax.axis_index(axis)
             nd = jax.lax.axis_size(axis)
-            local_geom = Geometry(
-                positions=positions, normals=normals, uvs=uvs,
-                indices=indices, face_shape=face_shape, face_valid=face_valid,
-            )
             n = rays_local.o.shape[0]
+
+            if accel is not None:
+                from ..accel.pallas_blocked import (
+                    _coherence_order, intersect_blocked,
+                )
+
+                order = _coherence_order(rays_local, accel.bounds)
+                rays_s = jax.tree.map(
+                    lambda a: jnp.take(a, order, axis=0), rays_local
+                )
+            else:
+                order = None
+                rays_s = rays_local
+
             best0 = Hit(
                 t=jnp.full((n,), F32_MAX),
                 prim=jnp.full((n,), -1, jnp.int32),
@@ -126,89 +256,135 @@ def make_ring_intersector(mesh: Mesh, n_shards: int, fpad: int):
 
             def step(k, carry):
                 rays_c, best = carry
-                # the ray block currently resident here started at
-                # device (me - k); its prim ids must index the shard
-                # tables of THIS device
+                # the resident ray block's prim ids must index THIS
+                # device's shard rows in the stacked face tables
                 base = me * fpad
-                best = _local_intersect(local_geom, rays_c, base, best)
-                moved = jax.lax.ppermute((rays_c, best), axis, perm)
-                return moved
+                if accel is not None:
+                    h = intersect_blocked(local_geom, local_accel, rays_c,
+                                          sort=False)
+                else:
+                    from ..accel.brute import intersect_brute
 
-            rays_f, best_f = jax.lax.fori_loop(0, nd, step, (rays_local, best0))
+                    h = intersect_brute(local_geom, rays_c)
+                best = _merge_best(h, best, base)
+                return jax.lax.ppermute((rays_c, best), axis, perm)
+
+            _, best_f = jax.lax.fori_loop(0, nd, step, (rays_s, best0))
             # nd permutes = full cycle: every block is home again
+            if order is not None:
+                inv = jnp.zeros((n,), jnp.int32).at[order].set(
+                    jnp.arange(n, dtype=jnp.int32)
+                )
+                best_f = jax.tree.map(
+                    lambda a: jnp.take(a, inv, axis=0), best_f
+                )
             return best_f
 
-        fn = shard_map(
-            spmd,
-            mesh=mesh,
-            in_specs=(
-                P(axis, None), P(axis), P(axis),  # face tables: sharded
-                P(), P(), P(),  # vertex attribute arrays: replicated
-                jax.tree.map(lambda _: P(axis), Rays(o=0, d=0, tmin=0, tmax=0, active=0)),
-            ),
-            out_specs=jax.tree.map(
-                lambda _: P(axis),
-                Hit(t=0, prim=0, shape=0, u=0, v=0, valid=0),
-            ),
-            check_rep=False,
+        out_spec = jax.tree.map(
+            lambda _: P(axis), Hit(t=0, prim=0, shape=0, u=0, v=0, valid=0)
         )
-        return fn(geom.indices, geom.face_shape, geom.face_valid,
-                  geom.positions, geom.normals, geom.uvs, rays)
+        if accel is not None:
+            fn = shard_map(
+                spmd, mesh=mesh,
+                in_specs=(P(axis, None, None), P(axis, None, None),
+                          P(axis, None), *_geom_specs(), _ray_spec),
+                out_specs=out_spec, check_rep=False,
+            )
+            return fn(accel.tri, accel.aabb, accel.slot_prim,
+                      *_geom_args(geom), rays)
+        fn = shard_map(
+            spmd, mesh=mesh,
+            in_specs=(*_geom_specs(), _ray_spec),
+            out_specs=out_spec, check_rep=False,
+        )
+        return fn(*_geom_args(geom), rays)
 
     def ring_occluded(geom: Geometry, rays: Rays) -> jax.Array:
-        def spmd(indices, face_shape, face_valid, positions, normals, uvs,
-                 rays_local: Rays) -> jax.Array:
-            from ..accel.brute import occluded_brute
-
-            local_geom = Geometry(
-                positions=positions, normals=normals, uvs=uvs,
-                indices=indices, face_shape=face_shape, face_valid=face_valid,
-            )
+        def spmd(*args) -> jax.Array:
+            if accel is not None:
+                tri, aabb, slot_prim = args[0], args[1], args[2]
+                geo_args, rays_local = args[3:-1], args[-1]
+                local_accel = _local_accel(tri, aabb, slot_prim)
+            else:
+                geo_args, rays_local = args[:-1], args[-1]
+                local_accel = None
+            local_geom = _local_geom(*geo_args)
             nd = jax.lax.axis_size(axis)
+            n = rays_local.o.shape[0]
             perm = [(i, (i + 1) % nd) for i in range(nd)]
+
+            if accel is not None:
+                from ..accel.pallas_blocked import (
+                    _coherence_order, occluded_blocked,
+                )
+
+                order = _coherence_order(rays_local, accel.bounds)
+                rays_s = jax.tree.map(
+                    lambda a: jnp.take(a, order, axis=0), rays_local
+                )
+            else:
+                order = None
+                rays_s = rays_local
 
             def step(k, carry):
                 rays_c, blocked = carry
-                blocked = blocked | occluded_brute(local_geom, rays_c)
-                return jax.lax.ppermute((rays_c, blocked), axis, perm)
+                if accel is not None:
+                    b = occluded_blocked(local_geom, local_accel, rays_c,
+                                         sort=False)
+                else:
+                    from ..accel.brute import occluded_brute
 
-            n = rays_local.o.shape[0]
+                    b = occluded_brute(local_geom, rays_c)
+                # stop testing already-blocked lanes on later shards
+                rays_c = rays_c.replace(active=rays_c.active & ~b)
+                return jax.lax.ppermute((rays_c, blocked | b), axis, perm)
+
             _, blocked = jax.lax.fori_loop(
-                0, nd, step, (rays_local, jnp.zeros((n,), bool))
+                0, nd, step, (rays_s, jnp.zeros((n,), bool))
             )
+            if order is not None:
+                inv = jnp.zeros((n,), jnp.int32).at[order].set(
+                    jnp.arange(n, dtype=jnp.int32)
+                )
+                blocked = jnp.take(blocked, inv, axis=0)
             return blocked
 
+        if accel is not None:
+            fn = shard_map(
+                spmd, mesh=mesh,
+                in_specs=(P(axis, None, None), P(axis, None, None),
+                          P(axis, None), *_geom_specs(), _ray_spec),
+                out_specs=P(axis), check_rep=False,
+            )
+            return fn(accel.tri, accel.aabb, accel.slot_prim,
+                      *_geom_args(geom), rays)
         fn = shard_map(
-            spmd,
-            mesh=mesh,
-            in_specs=(
-                P(axis, None), P(axis), P(axis),
-                P(), P(), P(),
-                jax.tree.map(lambda _: P(axis), Rays(o=0, d=0, tmin=0, tmax=0, active=0)),
-            ),
-            out_specs=P(axis),
-            check_rep=False,
+            spmd, mesh=mesh,
+            in_specs=(*_geom_specs(), _ray_spec),
+            out_specs=P(axis), check_rep=False,
         )
-        return fn(geom.indices, geom.face_shape, geom.face_valid,
-                  geom.positions, geom.normals, geom.uvs, rays)
+        return fn(*_geom_args(geom), rays)
 
     return ring_intersect, ring_occluded
 
 
-def build_sharded_scene(scene, mesh: Mesh):
+def build_sharded_scene(scene, mesh: Mesh, use_blocked: bool = True):
     """Shard a scene's face tables over the mesh's rays axis and return
     (sharded_scene, ring_intersector) — the San-Miguel-scale path
-    (BASELINE config 4)."""
+    (BASELINE config 4).  ``use_blocked`` selects the production Pallas
+    accel per shard; ``False`` keeps the O(N) brute oracle (tests)."""
     n_shards = mesh.shape[RAYS_AXIS]
     geom = shard_faces(scene.geometry, n_shards)
     fpad = geom.indices.shape[0] // n_shards
     scene = scene.replace(geometry=geom)
-    intersect, occluded = make_ring_intersector(mesh, n_shards, fpad)
+    accel = (_build_shard_accels(geom, n_shards, fpad)
+             if use_blocked else None)
+    intersect, occluded = make_ring_intersector(mesh, n_shards, fpad, accel)
 
     from ..accel import Intersector
 
     return scene, Intersector(
         intersect=lambda s, r: intersect(s.geometry, r),
         occluded=lambda s, r: occluded(s.geometry, r),
-        accel=None,
+        accel=accel,
     )

@@ -17,11 +17,15 @@ from mcrt_tpu.parallel.ring import build_sharded_scene, shard_faces
 from mcrt_tpu.scene.builders import cornell_box
 
 
-@pytest.fixture(scope="module")
-def ring_setup():
+@pytest.fixture(scope="module", params=[True, False],
+                ids=["blocked", "brute"])
+def ring_setup(request):
+    """Both ring variants: the production per-shard Pallas blocked accel
+    (interpret mode on CPU) and the O(N) brute oracle."""
     scene, camera = cornell_box()
     mesh = make_mesh(n_spp=1, n_rays=len(jax.devices()))
-    sscene, inter = build_sharded_scene(scene, mesh)
+    sscene, inter = build_sharded_scene(scene, mesh,
+                                        use_blocked=request.param)
     return scene, camera, mesh, sscene, inter
 
 
