@@ -70,7 +70,27 @@ def cmd_render(args) -> int:
     scene, camera = _load_scene(args)
     t0 = time.time()
     r = Renderer(scene, camera, cfg)
-    img = np.asarray(r.render())
+    if args.progressive:
+        # progressive-viewer stand-in (the reference's interactive loop
+        # accumulates spp across frames and displays continuously,
+        # RTPathTracingPass + RTDisplayPass): write the current accumulated
+        # image every --progressive spp so convergence can be watched
+        per_pass = cfg.samples_per_pass
+        interval = max(args.progressive, per_pass)
+        next_dump = interval
+        while int(r.accum.frame) < cfg.spp and not r.stopped():
+            r.step(1)
+            spp_done = int(r.accum.frame)
+            if spp_done >= next_dump or spp_done >= cfg.spp:
+                img = np.asarray(r.display_image())
+                write_png(args.out, img.reshape(cfg.height, cfg.width, 3))
+                print(f"  {spp_done}/{cfg.spp} spp "
+                      f"({time.time() - t0:.1f}s) -> {args.out}",
+                      flush=True)
+                next_dump += interval
+        img = np.asarray(r.display_image())
+    else:
+        img = np.asarray(r.render())
     dt = time.time() - t0
     write_png(args.out, img.reshape(cfg.height, cfg.width, 3))
     n_rays = cfg.width * cfg.height * cfg.spp * (cfg.integrator.max_depth + 1)
@@ -123,6 +143,9 @@ def main(argv=None) -> int:
     pr.add_argument("--spp", type=int, default=0)
     pr.add_argument("--max-depth", type=int, default=0)
     pr.add_argument("--integrator", choices=["path", "bdpt"], default=None)
+    pr.add_argument("--progressive", type=int, default=0, metavar="N",
+                    help="write the accumulated image every N spp "
+                         "(progressive-viewer stand-in)")
     pr.set_defaults(fn=cmd_render)
 
     pi = sub.add_parser("info", help="device + runtime info")
