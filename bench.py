@@ -185,8 +185,13 @@ def measure_scaling() -> float:
             return float("nan")
         results[n_dev] = json.loads(line[-1])["dt"]
         log(f"scaling: {n_dev} dev -> {results[n_dev]*1e3:.1f} ms/call")
-    # weak scaling (spp == n_dev): ideal 8-dev time equals 1-dev time
-    return results[1] / results[8]
+    # weak scaling (spp == n_dev): the 8-dev call renders 8x the samples.
+    # The 8 virtual devices SHARE one physical CPU host, so even perfect
+    # sharding cannot shrink wall-clock — the honest efficiency measure on
+    # virtual devices is per-sample throughput: t1 / (t8 / 8).  It isolates
+    # what virtual devices *can* measure (collective + sharding overhead);
+    # real parallel speedup needs a pod.
+    return results[1] / (results[8] / 8.0)
 
 
 def main():

@@ -24,6 +24,13 @@ class Intersector(NamedTuple):
     intersect: Callable[[Scene, Rays], Hit]
     occluded: Callable[[Scene, Rays], jax.Array]
     accel: object  # accel pytree (donated into jit along with the scene)
+    # optional fused query: (scene, rays, anyhit_mask) -> Hit, where lanes
+    # flagged anyhit terminate on first accepted hit (valid == "blocked").
+    # Lets the integrator ride bounce i's shadow rays on bounce i+1's
+    # closest-hit wavefront — one kernel dispatch + one coherence sort per
+    # bounce instead of two (the reference instead pays a separate
+    # QueryOcclusion per bounce, RTPathTracingPass.cpp:161-202).
+    intersect_fused: Callable[[Scene, Rays, jax.Array], Hit] | None = None
 
 
 def build_intersector(scene: Scene, cfg: RenderConfig) -> Intersector:
@@ -70,6 +77,8 @@ def build_intersector(scene: Scene, cfg: RenderConfig) -> Intersector:
             occluded=lambda s, r: occluded_blocked(s.geometry, acc, r,
                                                    sort=sort),
             accel=acc,
+            intersect_fused=lambda s, r, ah: intersect_blocked(
+                s.geometry, acc, r, sort=sort, anyhit=ah),
         )
     if accel_type == AccelType.LBVH:
         from .lbvh import build_lbvh

@@ -71,6 +71,13 @@ BLOCK = 128  # triangles per block == DMA lane alignment (hard constraint)
 # env-overridable for on-chip tuning sweeps
 TILE = int(_os.environ.get("MCRT_TILE", "128"))
 GROUP = int(_os.environ.get("MCRT_GROUP", "4"))
+# scenes at or below this many blocks skip cull/sort/visit-lists entirely
+# and run the dense all-blocks kernel on wide ray tiles (see _dense_query):
+# the per-query fixed costs (block cull, per-tile lax.sort, 2048-step grids)
+# dominate tiny scenes — measured 37 ms/query on a 1-block scene where the
+# actual MT work is ~1 ms
+DENSE_BLOCKS = int(_os.environ.get("MCRT_DENSE_BLOCKS", "8"))
+DTILE = int(_os.environ.get("MCRT_DTILE", "2048"))  # dense-kernel ray tile
 F32_MAX = float(jnp.finfo(jnp.float32).max)
 BIG = 3.0e38  # python float: jnp scalars would be captured consts in kernels
 
@@ -632,6 +639,100 @@ def _occluded_kernel(count_ref, rays_ref, list_ref, tri_hbm,
             wait_group(k % 2, k)
 
 
+# --------------------------------------------------------------------------
+# Dense small-scene path: no cull, no sort, no visit lists.  The whole
+# triangle table (<= DENSE_BLOCKS blocks, i.e. <= 1k triangles) sits in VMEM
+# and every block is MT-tested against a WIDE ray tile (DTILE rays) — one
+# grid step covers 16x the rays of the list-driven kernel, amortizing the
+# per-step overhead that dominates tiny scenes.  This is strategy selection
+# in the reference's sense (calc_intersection_device.cpp:73-150 picks
+# intersectors by scene shape); correctness is identical because every
+# block is tested.
+# --------------------------------------------------------------------------
+
+
+def _dense_closest_kernel(rays_ref, tri_ref, t_ref, slot_ref):
+    rt = rays_ref[:]
+    ox, oy, oz, dx, dy, dz, _, _, _, tmn, tmx, anyh = _ray_rows(rt)
+    nb = tri_ref.shape[1] // BLOCK
+    best_t = jnp.full((1, rt.shape[1]), BIG, jnp.float32)
+    best_slot = jnp.full((1, rt.shape[1]), -1, jnp.int32)
+    for b in range(nb):  # static unroll: nb <= DENSE_BLOCKS
+        rows = tri_ref[0:9, b * BLOCK:(b + 1) * BLOCK].T  # (BLOCK, 9)
+        t, _, _, hit = _mt_block(rows, ox, oy, oz, dx, dy, dz,
+                                 tmn, tmx, best_t)
+        tm = jnp.where(hit, t, BIG)
+        tnew = jnp.min(tm, axis=0, keepdims=True)
+        j = jnp.argmin(tm, axis=0)[None, :].astype(jnp.int32)
+        better = tnew < best_t
+        best_slot = jnp.where(better, b * BLOCK + j, best_slot)
+        best_t = jnp.where(better, tnew, best_t)
+        # any-hit lanes stop updating after their first accepted hit
+        best_t = jnp.where(anyh & (best_slot >= 0), -BIG, best_t)
+    t_ref[:] = best_t
+    slot_ref[:] = best_slot
+
+
+def _dense_any_kernel(rays_ref, tri_ref, out_ref):
+    rt = rays_ref[:]
+    ox, oy, oz, dx, dy, dz, _, _, _, tmn, tmx, _ = _ray_rows(rt)
+    nb = tri_ref.shape[1] // BLOCK
+    blocked = jnp.zeros((1, rt.shape[1]), jnp.float32)
+    for b in range(nb):
+        rows = tri_ref[0:9, b * BLOCK:(b + 1) * BLOCK].T
+        _, _, _, hit = _mt_block(rows, ox, oy, oz, dx, dy, dz, tmn, tmx,
+                                 jnp.where(blocked > 0.0, -BIG, BIG))
+        blocked = jnp.maximum(
+            blocked, jnp.max(hit.astype(jnp.float32), axis=0, keepdims=True))
+    out_ref[:] = blocked
+
+
+def _dense_pad(rays_packed: jax.Array):
+    npad = rays_packed.shape[1]
+    dt = min(DTILE, max(TILE, npad))
+    npad2 = -(-npad // dt) * dt
+    if npad2 != npad:
+        pad = jnp.zeros((8, npad2 - npad), jnp.float32).at[7].set(-BIG)
+        rays_packed = jnp.concatenate([rays_packed, pad], axis=1)
+    return rays_packed, dt, npad2
+
+
+def _dense_query(rays_packed, tri, closest: bool, interpret: bool):
+    rays_packed, dt, npad = _dense_pad(rays_packed)
+    n_tiles = npad // dt
+    in_specs = [
+        pl.BlockSpec((8, dt), lambda i: (0, i), memory_space=pltpu.VMEM),
+        pl.BlockSpec((16, tri.shape[1]), lambda i: (0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    params = pltpu.CompilerParams(
+        dimension_semantics=("arbitrary",), vmem_limit_bytes=96 * 2**20)
+    if closest:
+        return pl.pallas_call(
+            _dense_closest_kernel,
+            grid=(n_tiles,),
+            in_specs=in_specs,
+            out_specs=[pl.BlockSpec((1, dt), lambda i: (0, i),
+                                    memory_space=pltpu.VMEM)] * 2,
+            out_shape=[
+                jax.ShapeDtypeStruct((1, npad), jnp.float32),
+                jax.ShapeDtypeStruct((1, npad), jnp.int32),
+            ],
+            compiler_params=params,
+            interpret=interpret,
+        )(rays_packed, tri)
+    return pl.pallas_call(
+        _dense_any_kernel,
+        grid=(n_tiles,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, dt), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((1, npad), jnp.float32),
+        compiler_params=params,
+        interpret=interpret,
+    )(rays_packed, tri)
+
+
 def _interpret() -> bool:
     # interpret off-TPU (CPU tests); jax.default_backend() can raise on
     # tunneled platforms, so probe the device list instead
@@ -644,6 +745,8 @@ def _interpret() -> bool:
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
 def _query_closest(rays_packed, tri, aabb, num_blocks):
     interpret = _interpret()
+    if num_blocks <= DENSE_BLOCKS:
+        return _dense_query(rays_packed, tri, True, interpret)
     counts, lists, tn_sorted = _visit_lists(rays_packed, aabb, interpret)
     npad = rays_packed.shape[1]
     n_tiles = npad // TILE
@@ -705,6 +808,8 @@ _query_closest.defvjp(_query_closest_fwd, _query_closest_bwd)
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
 def _query_any(rays_packed, tri, aabb, num_blocks):
     interpret = _interpret()
+    if num_blocks <= DENSE_BLOCKS:
+        return _dense_query(rays_packed, tri, False, interpret)
     counts, lists, _ = _visit_lists(rays_packed, aabb, interpret)
     npad = rays_packed.shape[1]
     n_tiles = npad // TILE
