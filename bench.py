@@ -134,6 +134,32 @@ def measure_grad_overhead(scene, camera):
     return t_both / t_fwd
 
 
+def measure_bdpt(scene, camera):
+    """BDPT ms/spp at 128x128 (VERDICT r2 item 6: BDPT in the bench).
+    Diagnostic scale — BDPT's per-sample cost is O(maxDepth^2) connection
+    strategies (RTBDPTPass.cpp:442-488), so it runs small."""
+    from mcrt_tpu.accel import build_intersector
+    from mcrt_tpu.config import IntegratorConfig, IntegratorType, RenderConfig
+    from mcrt_tpu.renderer import render_sample
+
+    cfg = RenderConfig(
+        width=128, height=128, spp=1,
+        integrator=IntegratorConfig(type=IntegratorType.BDPT, max_depth=3),
+    )
+    intersector = build_intersector(scene, cfg)
+    fn = jax.jit(lambda s, f: jnp.sum(
+        render_sample(s, camera, f, cfg, intersector)[0]))
+    f0 = jnp.asarray(0, jnp.int32)
+    float(fn(scene, f0))  # compile + sync
+    t0 = time.time()
+    for i in range(3):
+        v = fn(scene, f0 + i)
+    _ = float(v)
+    dt = (time.time() - t0) / 3
+    log(f"bdpt: {dt*1e3:.1f} ms/spp at 128x128, depth 3")
+    return dt * 1e3
+
+
 _SCALING_SNIPPET = r"""
 import json, os, time
 import jax, jax.numpy as jnp
@@ -257,11 +283,16 @@ def main():
 
     grad_ratio = float("nan")
     scaling = float("nan")
+    bdpt_ms = float("nan")
     if not skip_extras:
         try:
             grad_ratio = measure_grad_overhead(scene, camera)
         except Exception as e:  # pragma: no cover - diagnostics only
             log(f"grad overhead measurement failed: {e}")
+        try:
+            bdpt_ms = measure_bdpt(scene, camera)
+        except Exception as e:  # pragma: no cover
+            log(f"bdpt measurement failed: {e}")
         try:
             scaling = measure_scaling()
         except Exception as e:  # pragma: no cover
@@ -278,6 +309,8 @@ def main():
         "scaling_efficiency_8dev": (None if scaling != scaling
                                     else round(scaling, 3)),
         "mfu_pct": round(mfu_pct, 4),
+        "bdpt_ms_per_spp_128": (None if bdpt_ms != bdpt_ms
+                                else round(bdpt_ms, 1)),
     }
     print(json.dumps(result))
 

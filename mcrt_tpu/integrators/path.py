@@ -158,7 +158,7 @@ def trace(
     prev_p = rays.o
 
     fuse = (intersect_fused is not None and cfg.enable_shadows
-            and cfg.max_depth > 1)
+            and getattr(cfg, "fuse_shadow_rays", False) and cfg.max_depth > 1)
 
     if not fuse:
         def bounce(i, carry, bounce_diff=None):

@@ -132,7 +132,7 @@ def test_fused_integrator_matches_separate_queries(cornell):
     rays = Rays.make(o, d)
     stream = rng.make_stream(SamplerConfig(), jnp.asarray(0),
                              jnp.arange(w * h))
-    cfg = IntegratorConfig(max_depth=3)
+    cfg = IntegratorConfig(max_depth=3, fuse_shadow_rays=True)
     intersect = lambda s, r: intersect_blocked(s.geometry, acc, r)
     occluded = lambda s, r: occluded_blocked(s.geometry, acc, r)
     fused = lambda s, r, ah: intersect_blocked(s.geometry, acc, r, anyhit=ah)
