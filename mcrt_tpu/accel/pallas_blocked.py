@@ -69,8 +69,9 @@ import os as _os
 BLOCK = 128  # triangles per block == DMA lane alignment (hard constraint)
 # rays per grid step (lane axis) and list entries per loop iteration —
 # env-overridable for on-chip tuning sweeps
-TILE = int(_os.environ.get("MCRT_TILE", "128"))
-GROUP = int(_os.environ.get("MCRT_GROUP", "4"))
+# swept on v5e (bunny_field 512^2 x 8 bounces): 256/8 beats 128/4 by ~3.5%
+TILE = int(_os.environ.get("MCRT_TILE", "256"))
+GROUP = int(_os.environ.get("MCRT_GROUP", "8"))
 # scenes at or below this many blocks skip cull/sort/visit-lists entirely
 # and run the dense all-blocks kernel on wide ray tiles (see _dense_query):
 # the per-query fixed costs (block cull, per-tile lax.sort, 2048-step grids)
@@ -98,6 +99,11 @@ class BlockedAccel(struct.PyTreeNode):
     aabb: jax.Array
     slot_prim: jax.Array
     bounds: jax.Array  # (2, 3) scene lo/hi for the ray-coherence sort key
+    # (NBpad//128, 8) union AABB per 128-block cull chunk: the cull kernel
+    # slab-tests the whole tile against ONE chunk box first and skips the
+    # dense 128-block test when no ray enters (blocks are Morton/SAH-ordered,
+    # so chunks are spatially compact) — a 2-level cull hierarchy
+    chunk_aabb: jax.Array
     num_blocks: int = struct.field(pytree_node=False)
 
     @property
@@ -251,8 +257,25 @@ def build_blocked(geom: Geometry,
         aabb=jnp.asarray(aabb),
         slot_prim=jnp.asarray(slot_prim),
         bounds=jnp.asarray(bounds),
+        chunk_aabb=jnp.asarray(_chunk_bounds(aabb)),
         num_blocks=nb,
     )
+
+
+def _chunk_bounds(aabb: np.ndarray) -> np.ndarray:
+    """(NBpad//128, 8) union box per 128-block cull chunk.  All-empty
+    chunks stay NaN-poisoned (slab comparisons false -> chunk skipped)."""
+    nbpad = aabb.shape[0]
+    ch = aabb.reshape(nbpad // 128, 128, 8)
+    out = np.empty((nbpad // 128, 8), np.float32)
+    import warnings
+
+    with np.errstate(invalid="ignore"), warnings.catch_warnings():
+        warnings.simplefilter("ignore", RuntimeWarning)  # all-NaN chunks
+        out[:, 0:3] = np.nanmin(ch[:, :, 0:3], axis=1)
+        out[:, 3:6] = np.nanmax(ch[:, :, 3:6], axis=1)
+    out[:, 6:8] = 0.0
+    return out
 
 
 def _pack_ref_blocks(prim_ids, tri_idx, pos, ref_tri, ref_bounds, bstart):
@@ -311,6 +334,7 @@ def _pack_ref_blocks(prim_ids, tri_idx, pos, ref_tri, ref_bounds, bstart):
         aabb=jnp.asarray(aabb),
         slot_prim=jnp.asarray(slot_prim),
         bounds=jnp.asarray(bounds),
+        chunk_aabb=jnp.asarray(_chunk_bounds(aabb)),
         num_blocks=nb,
     )
 
@@ -405,34 +429,64 @@ def _mt_block(rows, ox, oy, oz, dx, dy, dz, tmn, tmx, best_t):
 # --------------------------------------------------------------------------
 
 
-def _cull_kernel(rays_ref, aabb_ref, key_ref):
+def _cull_kernel(rays_ref, chunk_ref, aabb_ref, key_ref):
     rt = rays_ref[:]
     ox, oy, oz, dx, dy, dz, ix, iy, iz, tmn, tmx, _ = _ray_rows(rt)
     any_live = jnp.max(rt[7:8]) > 0.0
     nbpad = aabb_ref.shape[0]
 
+    def skip(c):
+        key_ref[:, pl.ds(c * 128, 128)] = jnp.full((8, 128), BIG,
+                                                   jnp.float32)
+
     def chunk(c, _):
-        a = aabb_ref[pl.ds(c * 128, 128), :]  # (128, 8)
-        lox, loy, loz = a[:, 0:1], a[:, 1:2], a[:, 2:3]
-        hix, hiy, hiz = a[:, 3:4], a[:, 4:5], a[:, 5:6]
-        tx0, tx1 = (lox - ox) * ix, (hix - ox) * ix
-        ty0, ty1 = (loy - oy) * iy, (hiy - oy) * iy
-        tz0, tz1 = (loz - oz) * iz, (hiz - oz) * iz
-        tn = jnp.maximum(
-            jnp.maximum(jnp.minimum(tx0, tx1), jnp.minimum(ty0, ty1)),
-            jnp.maximum(jnp.minimum(tz0, tz1), tmn),
+        # level 1: one union box (SMEM scalars) vs the whole tile — blocks
+        # are Morton/SAH-ordered, so most 128-block chunks are spatially
+        # far from the tile and skip the dense per-block test entirely
+        clox, cloy, cloz = chunk_ref[c, 0], chunk_ref[c, 1], chunk_ref[c, 2]
+        chix, chiy, chiz = chunk_ref[c, 3], chunk_ref[c, 4], chunk_ref[c, 5]
+        cx0, cx1 = (clox - ox) * ix, (chix - ox) * ix
+        cy0, cy1 = (cloy - oy) * iy, (chiy - oy) * iy
+        cz0, cz1 = (cloz - oz) * iz, (chiz - oz) * iz
+        ctn = jnp.maximum(
+            jnp.maximum(jnp.minimum(cx0, cx1), jnp.minimum(cy0, cy1)),
+            jnp.maximum(jnp.minimum(cz0, cz1), tmn),
         )
-        tf = jnp.minimum(
-            jnp.minimum(jnp.maximum(tx0, tx1), jnp.maximum(ty0, ty1)),
-            jnp.minimum(jnp.maximum(tz0, tz1), tmx),
+        ctf = jnp.minimum(
+            jnp.minimum(jnp.maximum(cx0, cx1), jnp.maximum(cy0, cy1)),
+            jnp.minimum(jnp.maximum(cz0, cz1), tmx),
         )
-        enter = tn <= tf  # (128, T); NaN rows compare false everywhere
-        tkey = jnp.min(jnp.where(enter, tn, BIG), axis=1, keepdims=True)
-        # the 8-row broadcast sidesteps dynamic-sublane stores; the wrapper
-        # reads row 0 of each tile's 8-row group
-        key_ref[:, pl.ds(c * 128, 128)] = jnp.broadcast_to(
-            tkey.reshape(1, 128), (8, 128)
-        )
+        # NaN (all-empty chunk) compares false -> skipped
+        enter_any = jnp.max(jnp.where(ctn <= ctf, 1.0, 0.0)) > 0.0
+
+        @pl.when(enter_any)
+        def _():
+            a = aabb_ref[pl.ds(c * 128, 128), :]  # (128, 8)
+            lox, loy, loz = a[:, 0:1], a[:, 1:2], a[:, 2:3]
+            hix, hiy, hiz = a[:, 3:4], a[:, 4:5], a[:, 5:6]
+            tx0, tx1 = (lox - ox) * ix, (hix - ox) * ix
+            ty0, ty1 = (loy - oy) * iy, (hiy - oy) * iy
+            tz0, tz1 = (loz - oz) * iz, (hiz - oz) * iz
+            tn = jnp.maximum(
+                jnp.maximum(jnp.minimum(tx0, tx1), jnp.minimum(ty0, ty1)),
+                jnp.maximum(jnp.minimum(tz0, tz1), tmn),
+            )
+            tf = jnp.minimum(
+                jnp.minimum(jnp.maximum(tx0, tx1), jnp.maximum(ty0, ty1)),
+                jnp.minimum(jnp.maximum(tz0, tz1), tmx),
+            )
+            enter = tn <= tf  # (128, T); NaN rows compare false everywhere
+            tkey = jnp.min(jnp.where(enter, tn, BIG), axis=1, keepdims=True)
+            # the 8-row broadcast sidesteps dynamic-sublane stores; the
+            # wrapper reads row 0 of each tile's 8-row group
+            key_ref[:, pl.ds(c * 128, 128)] = jnp.broadcast_to(
+                tkey.reshape(1, 128), (8, 128)
+            )
+
+        @pl.when(jnp.logical_not(enter_any))
+        def _():
+            skip(c)
+
         return 0
 
     @pl.when(any_live)
@@ -444,7 +498,7 @@ def _cull_kernel(rays_ref, aabb_ref, key_ref):
         key_ref[:] = jnp.full((8, nbpad), BIG, jnp.float32)
 
 
-def _cull(rays_packed: jax.Array, aabb: jax.Array,
+def _cull(rays_packed: jax.Array, chunk_aabb: jax.Array, aabb: jax.Array,
           interpret: bool) -> jax.Array:
     npad = rays_packed.shape[1]
     n_tiles = npad // TILE
@@ -454,6 +508,8 @@ def _cull(rays_packed: jax.Array, aabb: jax.Array,
         grid=(n_tiles,),
         in_specs=[
             pl.BlockSpec((8, TILE), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((nbpad // 128, 8), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
             pl.BlockSpec((nbpad, 8), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((8, nbpad), lambda i: (i, 0),
@@ -464,13 +520,14 @@ def _cull(rays_packed: jax.Array, aabb: jax.Array,
             vmem_limit_bytes=96 * 2**20,
         ),
         interpret=interpret,
-    )(rays_packed, aabb)
+    )(rays_packed, chunk_aabb, aabb)
 
 
-def _visit_lists(rays_packed: jax.Array, aabb: jax.Array, interpret: bool):
+def _visit_lists(rays_packed: jax.Array, chunk_aabb: jax.Array,
+                 aabb: jax.Array, interpret: bool):
     """Front-to-back visit lists: (counts (n_tiles,), lists (n_tiles, NBpad),
     tn_sorted (n_tiles, NBpad))."""
-    key = _cull(rays_packed, aabb, interpret)
+    key = _cull(rays_packed, chunk_aabb, aabb, interpret)
     key = key[::8]  # one row per tile (the kernel writes 8 duplicates)
     nbpad = key.shape[1]
     counts = jnp.sum(key < 0.5 * BIG, axis=1, dtype=jnp.int32)
@@ -758,12 +815,13 @@ def _interpret() -> bool:
         return True
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
-def _query_closest(rays_packed, tri, aabb, num_blocks):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def _query_closest(rays_packed, tri, aabb, chunk_aabb, num_blocks):
     interpret = _interpret()
     if num_blocks <= DENSE_BLOCKS:
         return _dense_query(rays_packed, tri, True, interpret)
-    counts, lists, tn_sorted = _visit_lists(rays_packed, aabb, interpret)
+    counts, lists, tn_sorted = _visit_lists(rays_packed, chunk_aabb, aabb,
+                                            interpret)
     npad = rays_packed.shape[1]
     n_tiles = npad // TILE
     nbpad = lists.shape[1]
@@ -809,24 +867,25 @@ def _query_closest(rays_packed, tri, aabb, num_blocks):
     return t, slot
 
 
-def _query_closest_fwd(rays_packed, tri, aabb, num_blocks):
-    return _query_closest(rays_packed, tri, aabb, num_blocks), None
+def _query_closest_fwd(rays_packed, tri, aabb, chunk_aabb, num_blocks):
+    return _query_closest(rays_packed, tri, aabb, chunk_aabb,
+                          num_blocks), None
 
 
 def _query_closest_bwd(num_blocks, _res, _ct):
     # hits are discrete events: zero cotangents into rays/geometry
-    return None, None, None
+    return None, None, None, None
 
 
 _query_closest.defvjp(_query_closest_fwd, _query_closest_bwd)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
-def _query_any(rays_packed, tri, aabb, num_blocks):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def _query_any(rays_packed, tri, aabb, chunk_aabb, num_blocks):
     interpret = _interpret()
     if num_blocks <= DENSE_BLOCKS:
         return _dense_query(rays_packed, tri, False, interpret)
-    counts, lists, _ = _visit_lists(rays_packed, aabb, interpret)
+    counts, lists, _ = _visit_lists(rays_packed, chunk_aabb, aabb, interpret)
     npad = rays_packed.shape[1]
     n_tiles = npad // TILE
     nbpad = lists.shape[1]
@@ -863,8 +922,8 @@ def _query_any(rays_packed, tri, aabb, num_blocks):
     return out
 
 
-_query_any.defvjp(lambda r, t, a, n: (_query_any(r, t, a, n), None),
-                  lambda n, res, ct: (None, None, None))
+_query_any.defvjp(lambda r, t, a, c, n: (_query_any(r, t, a, c, n), None),
+                  lambda n, res, ct: (None, None, None, None))
 
 
 def _resolve_uv(tri: jax.Array, slot: jax.Array, rays: Rays):
@@ -903,7 +962,8 @@ def intersect_blocked(geom: Geometry, accel: BlockedAccel, rays: Rays,
         rays_q = rays
         anyhit_q = anyhit
     packed = _pack_rays(rays_q, anyhit_q)
-    t, slot = _query_closest(packed, accel.tri, accel.aabb, accel.num_blocks)
+    t, slot = _query_closest(packed, accel.tri, accel.aabb,
+                             accel.chunk_aabb, accel.num_blocks)
     if sort:
         inv = jnp.zeros((n,), jnp.int32).at[order].set(
             jnp.arange(n, dtype=jnp.int32)
@@ -945,7 +1005,8 @@ def occluded_blocked(geom: Geometry, accel: BlockedAccel,
     else:
         rays_q = rays
     packed = _pack_rays(rays_q)
-    out = _query_any(packed, accel.tri, accel.aabb, accel.num_blocks)
+    out = _query_any(packed, accel.tri, accel.aabb, accel.chunk_aabb,
+                     accel.num_blocks)
     blocked = out.reshape(-1)[:n] > 0.0
     if sort:
         inv = jnp.zeros((n,), jnp.int32).at[order].set(

@@ -111,6 +111,7 @@ class ShardedBlockedAccel(struct.PyTreeNode):
 
     tri: jax.Array  # (nd, 16, NTmax)
     aabb: jax.Array  # (nd, NBmax, 8)
+    chunk_aabb: jax.Array  # (nd, NBmax//128, 8) cull-chunk union boxes
     slot_prim: jax.Array  # (nd, NTmax)
     bounds: jax.Array  # (2, 3) GLOBAL scene bounds (replicated sort key)
     num_blocks: int = struct.field(pytree_node=False)
@@ -143,6 +144,7 @@ def _build_shard_accels(geom: Geometry, n_shards: int, fpad: int,
              default=128)
     tris = np.zeros((n_shards, 16, nt), np.float32)
     aabbs = np.full((n_shards, nb, 8), np.nan, np.float32)
+    chunks = np.full((n_shards, nb // 128, 8), np.nan, np.float32)
     slots = np.full((n_shards, nt), -1, np.int32)
     lo = np.full((3,), np.inf, np.float32)
     hi = np.full((3,), -np.inf, np.float32)
@@ -151,6 +153,7 @@ def _build_shard_accels(geom: Geometry, n_shards: int, fpad: int,
             continue
         tris[s, :, : a.tri.shape[1]] = np.asarray(a.tri)
         aabbs[s, : a.aabb.shape[0]] = np.asarray(a.aabb)
+        chunks[s, : a.chunk_aabb.shape[0]] = np.asarray(a.chunk_aabb)
         slots[s, : a.slot_prim.shape[0]] = np.asarray(a.slot_prim)
         b = np.asarray(a.bounds)
         lo = np.minimum(lo, b[0])
@@ -158,6 +161,7 @@ def _build_shard_accels(geom: Geometry, n_shards: int, fpad: int,
     return ShardedBlockedAccel(
         tri=jnp.asarray(tris),
         aabb=jnp.asarray(aabbs),
+        chunk_aabb=jnp.asarray(chunks),
         slot_prim=jnp.asarray(slots),
         bounds=jnp.asarray(np.stack([lo, hi])),
         num_blocks=nt // BLOCK,
@@ -205,11 +209,12 @@ def make_ring_intersector(mesh: Mesh, n_shards: int, fpad: int,
         return (geom.indices, geom.face_shape, geom.face_valid,
                 geom.face_attrs, geom.positions, geom.normals, geom.uvs)
 
-    def _local_accel(tri, aabb, slot_prim):
+    def _local_accel(tri, aabb, chunk_aabb, slot_prim):
         from ..accel.pallas_blocked import BlockedAccel
 
         return BlockedAccel(
-            tri=tri[0], aabb=aabb[0], slot_prim=slot_prim[0],
+            tri=tri[0], aabb=aabb[0], chunk_aabb=chunk_aabb[0],
+            slot_prim=slot_prim[0],
             bounds=accel.bounds, num_blocks=accel.num_blocks,
         )
 
@@ -220,9 +225,9 @@ def make_ring_intersector(mesh: Mesh, n_shards: int, fpad: int,
     def ring_intersect(geom: Geometry, rays: Rays) -> Hit:
         def spmd(*args) -> Hit:
             if accel is not None:
-                tri, aabb, slot_prim = args[0], args[1], args[2]
-                geo_args, rays_local = args[3:-1], args[-1]
-                local_accel = _local_accel(tri, aabb, slot_prim)
+                tri, aabb, chunk_aabb, slot_prim = args[:4]
+                geo_args, rays_local = args[4:-1], args[-1]
+                local_accel = _local_accel(tri, aabb, chunk_aabb, slot_prim)
             else:
                 geo_args, rays_local = args[:-1], args[-1]
                 local_accel = None
@@ -287,11 +292,12 @@ def make_ring_intersector(mesh: Mesh, n_shards: int, fpad: int,
             fn = shard_map(
                 spmd, mesh=mesh,
                 in_specs=(P(axis, None, None), P(axis, None, None),
-                          P(axis, None), *_geom_specs(), _ray_spec),
+                          P(axis, None, None), P(axis, None),
+                          *_geom_specs(), _ray_spec),
                 out_specs=out_spec, check_rep=False,
             )
-            return fn(accel.tri, accel.aabb, accel.slot_prim,
-                      *_geom_args(geom), rays)
+            return fn(accel.tri, accel.aabb, accel.chunk_aabb,
+                      accel.slot_prim, *_geom_args(geom), rays)
         fn = shard_map(
             spmd, mesh=mesh,
             in_specs=(*_geom_specs(), _ray_spec),
@@ -302,9 +308,9 @@ def make_ring_intersector(mesh: Mesh, n_shards: int, fpad: int,
     def ring_occluded(geom: Geometry, rays: Rays) -> jax.Array:
         def spmd(*args) -> jax.Array:
             if accel is not None:
-                tri, aabb, slot_prim = args[0], args[1], args[2]
-                geo_args, rays_local = args[3:-1], args[-1]
-                local_accel = _local_accel(tri, aabb, slot_prim)
+                tri, aabb, chunk_aabb, slot_prim = args[:4]
+                geo_args, rays_local = args[4:-1], args[-1]
+                local_accel = _local_accel(tri, aabb, chunk_aabb, slot_prim)
             else:
                 geo_args, rays_local = args[:-1], args[-1]
                 local_accel = None
@@ -353,11 +359,12 @@ def make_ring_intersector(mesh: Mesh, n_shards: int, fpad: int,
             fn = shard_map(
                 spmd, mesh=mesh,
                 in_specs=(P(axis, None, None), P(axis, None, None),
-                          P(axis, None), *_geom_specs(), _ray_spec),
+                          P(axis, None, None), P(axis, None),
+                          *_geom_specs(), _ray_spec),
                 out_specs=P(axis), check_rep=False,
             )
-            return fn(accel.tri, accel.aabb, accel.slot_prim,
-                      *_geom_args(geom), rays)
+            return fn(accel.tri, accel.aabb, accel.chunk_aabb,
+                      accel.slot_prim, *_geom_args(geom), rays)
         fn = shard_map(
             spmd, mesh=mesh,
             in_specs=(*_geom_specs(), _ray_spec),

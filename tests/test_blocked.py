@@ -142,3 +142,25 @@ def test_fused_integrator_matches_separate_queries(cornell):
                                       intersect_fused=fused, **kw)
     np.testing.assert_allclose(np.asarray(img_sep), np.asarray(img_fused),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_multichunk_visit_list_conformance():
+    """A >128-block scene exercises the 2-level cull (chunk-union gating),
+    the quantized front-to-back sort and the DMA visit-list traversal —
+    the paths a <=8-block scene's dense fast path bypasses."""
+    from tests.test_lbvh import _random_soup_scene, _random_rays
+    from mcrt_tpu.accel.pallas_blocked import DENSE_BLOCKS, build_blocked
+
+    scene = _random_soup_scene(n_tris=20000, seed=11)
+    acc = build_blocked(scene.geometry)
+    assert acc.num_blocks > max(128, DENSE_BLOCKS)  # >1 cull chunk
+    rays = _random_rays(256, seed=0xC0FFEE, radius=1.6)
+    hb = intersect_brute(scene.geometry, rays)
+    hp = intersect_blocked(scene.geometry, acc, rays)
+    np.testing.assert_array_equal(np.asarray(hp.valid), np.asarray(hb.valid))
+    m = np.asarray(hb.valid)
+    np.testing.assert_allclose(np.asarray(hp.t)[m], np.asarray(hb.t)[m],
+                               rtol=1e-5, atol=1e-6)
+    ob = occluded_brute(scene.geometry, rays)
+    op = occluded_blocked(scene.geometry, acc, rays)
+    np.testing.assert_array_equal(np.asarray(op), np.asarray(ob))

@@ -100,7 +100,7 @@ def main():
         order = _coherence_order(r, acc.bounds)
         rq = jax.tree.map(lambda a: jnp.take(a, order, axis=0), r)
         packed = _pack_rays(rq)
-        return _visit_lists(packed, acc.aabb, False)
+        return _visit_lists(packed, acc.chunk_aabb, acc.aabb, False)
 
     counts, _, _ = lists_fn(prim)
     t_lists = timed(lists_fn, prim)
