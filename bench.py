@@ -1,24 +1,32 @@
-"""Benchmark harness: rays/sec/chip + grad overhead + scaling efficiency.
+"""Benchmark harness: rays/sec/chip + grad overhead + scaling metrics.
 
 Prints ONE JSON line to stdout:
-  {"metric": "rays/sec/chip", "value": N, "unit": "...", "vs_baseline": N,
-   "grad_overhead_ratio": N, "scaling_efficiency_8dev": N, "mfu_pct": N}
-Diagnostics (kernel-time breakdown, MFU accounting) go to stderr.
+  {"metric": "rays/sec/chip", "value": N, "unit": "...", "vs_baseline": N, ...}
+Diagnostics (per-phase breakdown, MFU accounting) go to stderr.
 
-BASELINE config 3 analogue: `textured_hall` — checkerboard-textured +
-normal-mapped uber materials, point + directional lights, Sobol sampler,
-512x512 @ 8 bounces (the Crytek-Sponza assets do not exist in this
-environment; the stand-in exercises the same feature set).  The reference
-publishes no numbers (BASELINE.md); round 1 of this harness established
-the baseline at 389,698 rays/s/chip (bunny_field, the then-default scene),
-so `vs_baseline` compares against that figure.
+PRIMARY metric: `bunny_field` — 243,434 triangles, 512x512 @ 8 bounces,
+Sobol — the scene that actually exercises the production traversal path
+(cull hierarchy, visit-list sort, DMA traversal).  The reference publishes
+no numbers (BASELINE.md); round 1 established 389,698 rays/s/chip on this
+same scene, and `vs_baseline` divides by that figure — same scene, same
+config, apples to apples.  (Round 3's artifact briefly reported
+`textured_hall`, a 44-triangle scene that routes to the dense fast path;
+that is now the SECONDARY feature-coverage line, reported separately and
+never mixed into `vs_baseline`.)
 
 Secondary metrics (BASELINE.md):
+- `secondary_textured_hall`: rays/s on the textured+normal-mapped uber
+  material scene (feature coverage of the dense small-scene path).
 - grad-pass overhead: (forward+backward time) / (forward time) of the
   differentiable render loss at 128x128.
-- scaling efficiency: rays/s on an 8-device CPU mesh vs 1 device (run in a
-  subprocess with JAX_PLATFORMS=cpu; relative scaling is meaningful even
-  off-TPU; real multi-chip hardware is not available here).
+- `per_sample_throughput_ratio_8dev`: t1 / (t8 / 8) of the spp-sharded
+  renderer on an 8-virtual-CPU-device mesh.  NOT a pod-scaling
+  efficiency — 8 virtual devices share one host's cores, so this isolates
+  collective + sharding overhead only (values near or above 1 mean the
+  sharded program adds little overhead); real scaling needs a pod.
+- `ring_overhead_ratio`: sharded-scene ray-ring intersector cost vs the
+  replicated blocked intersector on the same rays (8-CPU-device mesh) —
+  the comm + re-query overhead of scene sharding (SURVEY §2e ray ring).
 
 Measurement notes (axon tunnel): per-dispatch latency ~30ms and slow
 device->host transfers, so we time M back-to-back dispatches of the jitted
@@ -40,7 +48,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-R01_BASELINE = 389698.0  # rays/s/chip established in round 1
+R01_BASELINE = 389698.0  # rays/s/chip, bunny_field 512^2 x 8, round 1
 
 
 def log(msg: str):
@@ -220,8 +228,155 @@ def measure_scaling() -> float:
     return results[1] / (results[8] / 8.0)
 
 
+def measure_phases(scene, camera, cfg, intersector):
+    """Per-phase breakdown of one closest-hit query on primary rays plus a
+    scrambled (bounce-like incoherent) copy — the optimization map the
+    VERDICT asked to ship with the bench (stderr only)."""
+    from mcrt_tpu.accel.pallas_blocked import (
+        _coherence_order, _pack_rays, _cull, _visit_lists,
+    )
+    from mcrt_tpu.camera.pinhole import pixel_uv
+    from mcrt_tpu.core.types import Rays
+
+    acc = intersector.accel
+    if acc is None or not hasattr(acc, "chunk_aabb"):
+        return
+    uv = pixel_uv(cfg.width, cfg.height)
+    o, d = camera.generate_rays(uv)
+    rays = Rays.make(o, d)
+
+    def timed(fn, *args, n=5):
+        jax.block_until_ready(fn(*args))
+        t0 = time.time()
+        for _ in range(n):
+            out = fn(*args)
+        jax.block_until_ready(out)
+        return (time.time() - t0) / n
+
+    coh = jax.jit(lambda r: _coherence_order(r, acc.bounds))
+    t_coh = timed(coh, rays)
+
+    @jax.jit
+    def packed_fn(r):
+        order = _coherence_order(r, acc.bounds)
+        rq = jax.tree.map(lambda a: jnp.take(a, order, axis=0), r)
+        return _pack_rays(rq)
+
+    packed = packed_fn(rays)
+    t_pack = max(timed(packed_fn, rays) - t_coh, 0.0)
+    cull_fn = jax.jit(lambda p: _cull(p, acc.chunk_aabb, acc.aabb, False))
+    t_cull = timed(cull_fn, packed)
+    lists_fn = jax.jit(
+        lambda p: _visit_lists(p, acc.chunk_aabb, acc.aabb, False))
+    t_sort = max(timed(lists_fn, packed) - t_cull, 0.0)
+    isect = jax.jit(lambda r: intersector.intersect(scene, r))
+    t_tot = timed(isect, rays, n=3)
+    t_trav = max(t_tot - t_coh - t_pack - t_cull - t_sort, 0.0)
+    log(f"phase breakdown (primary query): argsort {t_coh*1e3:.1f} ms, "
+        f"pack {t_pack*1e3:.1f} ms, cull {t_cull*1e3:.1f} ms, "
+        f"list-sort {t_sort*1e3:.1f} ms, traverse+resolve {t_trav*1e3:.1f} ms"
+        f" -> total {t_tot*1e3:.1f} ms")
+
+
+def measure_secondary(width, height, depth, spp_per_call):
+    """Feature-coverage line: textured_hall (44 tris, dense fast path,
+    textures + normal maps + point/dir lights)."""
+    from mcrt_tpu.accel import build_intersector
+    from mcrt_tpu.config import (
+        IntegratorConfig, RenderConfig, SamplerConfig, SamplerType,
+    )
+    from mcrt_tpu.parallel.render import render_spp_batch
+    from mcrt_tpu.scene import builders
+
+    scene, camera = builders.textured_hall()
+    cfg = RenderConfig(
+        width=width, height=height, spp=spp_per_call,
+        sampler=SamplerConfig(type=SamplerType.SOBOL),
+        integrator=IntegratorConfig(max_depth=depth),
+    )
+    intersector = build_intersector(scene, cfg)
+    rays_per_call = count_rays_per_sample(
+        scene, camera, cfg, intersector) * spp_per_call
+
+    @jax.jit
+    def render(scene_in, frames):
+        return jnp.sum(render_spp_batch(scene_in, camera, frames, cfg,
+                                        intersector))
+
+    frames = jnp.arange(spp_per_call, dtype=jnp.int32)
+    float(render(scene, frames))
+    t0 = time.time()
+    for i in range(4):
+        acc = render(scene, frames + i * spp_per_call)
+    _ = float(acc)
+    dt = time.time() - t0
+    rs = rays_per_call * 4 / dt
+    log(f"secondary textured_hall: {rs:,.0f} rays/s "
+        f"({dt / (4 * spp_per_call) * 1e3:.1f} ms/spp)")
+    return rs
+
+
+_RING_SNIPPET = r"""
+import json, time
+import jax, jax.numpy as jnp
+jax.config.update("jax_platforms", "cpu")
+from mcrt_tpu.accel import build_intersector
+from mcrt_tpu.camera.pinhole import pixel_uv
+from mcrt_tpu.config import AccelType, RenderConfig
+from mcrt_tpu.core.types import Rays
+from mcrt_tpu.parallel.mesh import make_mesh
+from mcrt_tpu.parallel.ring import build_sharded_scene
+from mcrt_tpu.scene.builders import cornell_box
+
+scene, camera = cornell_box()
+uv = pixel_uv(128, 128)
+o, d = camera.generate_rays(uv)
+rays = Rays.make(o, d)
+mesh = make_mesh(n_spp=1, n_rays=len(jax.devices()))
+sscene, ring = build_sharded_scene(scene, mesh, use_blocked=True)
+cfg = RenderConfig(width=128, height=128, accel=AccelType.LBVH)
+rep = build_intersector(scene, cfg)
+
+j_ring = jax.jit(lambda s, r: ring.intersect(s, r).t.sum())
+j_rep = jax.jit(lambda s, r: rep.intersect(s, r).t.sum())
+float(j_ring(sscene, rays)); float(j_rep(scene, rays))
+t0 = time.time()
+for _ in range(4):
+    a = j_ring(sscene, rays)
+_ = float(a); t_ring = (time.time() - t0) / 4
+t0 = time.time()
+for _ in range(4):
+    b = j_rep(scene, rays)
+_ = float(b); t_rep = (time.time() - t0) / 4
+print(json.dumps({"t_ring": t_ring, "t_rep": t_rep}))
+"""
+
+
+def measure_ring() -> float:
+    """Ring-sharded intersector cost vs a replicated intersector on the
+    same rays, 8-CPU-device mesh (VERDICT r3 item 5: measure the ring)."""
+    env = dict(os.environ)
+    env.update({
+        "JAX_PLATFORMS": "cpu",
+        "XLA_FLAGS": (env.get("XLA_FLAGS", "")
+                      + " --xla_force_host_platform_device_count=8").strip(),
+        "PYTHONPATH": os.path.dirname(os.path.abspath(__file__)),
+    })
+    out = subprocess.run([sys.executable, "-c", _RING_SNIPPET],
+                         capture_output=True, text=True, env=env,
+                         timeout=1200)
+    line = [ln for ln in out.stdout.splitlines() if ln.startswith("{")]
+    if not line:
+        log(f"ring run failed: {out.stderr[-500:]}")
+        return float("nan")
+    r = json.loads(line[-1])
+    log(f"ring: {r['t_ring']*1e3:.1f} ms vs replicated {r['t_rep']*1e3:.1f} "
+        f"ms per query (8-CPU-dev, cornell)")
+    return r["t_ring"] / r["t_rep"]
+
+
 def main():
-    scene_name = os.environ.get("BENCH_SCENE", "textured_hall")
+    scene_name = os.environ.get("BENCH_SCENE", "bunny_field")
     width = int(os.environ.get("BENCH_WIDTH", "512"))
     height = int(os.environ.get("BENCH_HEIGHT", "512"))
     depth = int(os.environ.get("BENCH_DEPTH", "8"))
@@ -284,10 +439,20 @@ def main():
     grad_ratio = float("nan")
     scaling = float("nan")
     bdpt_ms = float("nan")
+    secondary = float("nan")
+    ring_ratio = float("nan")
     if not skip_extras:
         try:
-            grad_ratio = measure_grad_overhead(scene, camera)
+            measure_phases(scene, camera, cfg, intersector)
         except Exception as e:  # pragma: no cover - diagnostics only
+            log(f"phase breakdown failed: {e}")
+        try:
+            secondary = measure_secondary(width, height, depth, spp_per_call)
+        except Exception as e:  # pragma: no cover
+            log(f"secondary scene measurement failed: {e}")
+        try:
+            grad_ratio = measure_grad_overhead(scene, camera)
+        except Exception as e:  # pragma: no cover
             log(f"grad overhead measurement failed: {e}")
         try:
             bdpt_ms = measure_bdpt(scene, camera)
@@ -297,6 +462,13 @@ def main():
             scaling = measure_scaling()
         except Exception as e:  # pragma: no cover
             log(f"scaling measurement failed: {e}")
+        try:
+            ring_ratio = measure_ring()
+        except Exception as e:  # pragma: no cover
+            log(f"ring measurement failed: {e}")
+
+    def _r(x, nd=2):
+        return None if x != x else round(x, nd)
 
     result = {
         "metric": "rays/sec/chip",
@@ -304,13 +476,12 @@ def main():
         "unit": (f"rays/s ({scene_name} {width}x{height}, {depth} bounces, "
                  f"sobol, accel={cfg.accel.value})"),
         "vs_baseline": round(rays_per_sec / n_chips / R01_BASELINE, 2),
-        "grad_overhead_ratio": (None if grad_ratio != grad_ratio
-                                else round(grad_ratio, 2)),
-        "scaling_efficiency_8dev": (None if scaling != scaling
-                                    else round(scaling, 3)),
+        "secondary_textured_hall_rays_s": _r(secondary, 0),
+        "grad_overhead_ratio": _r(grad_ratio),
+        "per_sample_throughput_ratio_8dev": _r(scaling, 3),
+        "ring_overhead_ratio": _r(ring_ratio),
         "mfu_pct": round(mfu_pct, 4),
-        "bdpt_ms_per_spp_128": (None if bdpt_ms != bdpt_ms
-                                else round(bdpt_ms, 1)),
+        "bdpt_ms_per_spp_128": _r(bdpt_ms, 1),
     }
     print(json.dumps(result))
 
