@@ -8,6 +8,8 @@ reference's test suite (``radeon_rays_conformance_test_cl.h:118``).
 """
 from __future__ import annotations
 
+import os
+
 import numpy as np
 
 from ..camera.pinhole import PinholeCamera
@@ -197,7 +199,8 @@ def scene_from_obj(path: str, extra_lights: list[dict] | None = None,
     Ke become triangle-mesh area lights with radiance Ke.
     """
     from .objloader import load_obj
-    from .scene import LIGHT_MESH
+    from .scene import LIGHT_MESH, TEX_DIFFUSE, TEX_NORMAL
+    from .textures import AtlasBuilder, load_texture_image
 
     mesh = load_obj(path)
     if transform is not None:
@@ -206,6 +209,35 @@ def scene_from_obj(path: str, extra_lights: list[dict] | None = None,
 
     sb = SceneBuffers()
     materials = [m.to_uber() for m in mesh.materials]
+
+    # texture-file import: decode map_Kd / map_bump images into the atlas
+    # and wire per-material texture slots — the file-driven half of the
+    # reference's material-texture pipeline (SOIL decode via AssetImporter
+    # -> GL texture -> atlas upload, RTScene.cpp:680-766).  map_Kd is
+    # sRGB-linearized; map_bump is a tangent-space normal map read linear
+    # (USE_NORMAL_MAPPING path, materials.cl:14-30).
+    base_dir = os.path.dirname(os.path.abspath(path))
+    atlas_builder: AtlasBuilder | None = None
+    tex_cache: dict[tuple, int] = {}
+    for mid, om in enumerate(mesh.materials):
+        for attr, slot, srgb in (("map_kd", TEX_DIFFUSE, True),
+                                 ("map_bump", TEX_NORMAL, False)):
+            rel = getattr(om, attr, None)
+            if not rel:
+                continue
+            key = (rel, srgb)
+            if key not in tex_cache:
+                img = load_texture_image(os.path.join(base_dir, rel),
+                                         srgb=srgb)
+                if img is None:
+                    tex_cache[key] = -1
+                else:
+                    if atlas_builder is None:
+                        atlas_builder = AtlasBuilder()
+                    tex_cache[key] = atlas_builder.add(img)
+            if tex_cache[key] >= 0:
+                materials[mid].tex[slot] = tex_cache[key]
+    textures = atlas_builder.build() if atlas_builder is not None else None
     host_lights: list[dict] = []
     # one shape per material group (the reference's submesh concatenation)
     for mid in range(len(mesh.materials)):
@@ -233,7 +265,7 @@ def scene_from_obj(path: str, extra_lights: list[dict] | None = None,
     lights = make_lights(host_lights, positions, indices, face_shape)
     scene = build_scene(
         positions, normals, uvs, indices, face_shape, shape_mat, materials,
-        lights=lights, shape_light=shape_light,
+        lights=lights, shape_light=shape_light, textures=textures,
     )
     lo = positions.min(0); hi = positions.max(0)
     center = (lo + hi) / 2

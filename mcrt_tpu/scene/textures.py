@@ -16,6 +16,8 @@ All formats RGBA8, like the reference (``textures.cl:15``).
 """
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -89,6 +91,38 @@ class AtlasBuilder:
             mips=jnp.asarray(descs[:, 3]),
             wrap=jnp.asarray(descs[:, 4]),
         )
+
+
+def load_texture_image(path: str, srgb: bool = False) -> np.ndarray | None:
+    """Decode an image file into an (H, W, 4) uint8 RGBA array for
+    ``AtlasBuilder.add`` — the file half of the reference's texture upload
+    (``RTScene.cpp:680-766`` reads back GL textures that SOIL decoded from
+    disk, ``AssetImporter.h:16-46``).
+
+    ``srgb=True`` linearizes the color channels (MTL ``map_Kd`` color maps
+    are authored sRGB; all radiance math is linear).  Rows are flipped so
+    OBJ's bottom-up ``vt`` convention lands on row 0.  Returns None when
+    the file is missing or no decoder is available (callers degrade to the
+    constant material color, like ``readTexture2Df_ifValid``,
+    ``textures.cl:211-241``)."""
+    if not os.path.exists(path):
+        return None
+    try:
+        from PIL import Image
+    except ImportError:  # pragma: no cover - PIL is in the base env
+        return None
+    try:
+        with Image.open(path) as im:
+            arr = np.asarray(im.convert("RGBA"), np.uint8)
+    except Exception:
+        return None
+    arr = np.flipud(arr).copy()
+    if srgb:
+        lin = (arr[..., :3].astype(np.float32) / 255.0) ** 2.2
+        arr = np.concatenate(
+            [(lin * 255.0 + 0.5).astype(np.uint8), arr[..., 3:]], axis=-1
+        )
+    return arr
 
 
 def _wrap_coord(x: jax.Array, n: jax.Array, mode: jax.Array) -> jax.Array:

@@ -25,6 +25,24 @@ import numpy as np  # noqa: E402
 from tests.golden_config import FIXTURE_DIR, GOLDEN_DIR, SCENES, render_fixture  # noqa: E402
 
 
+def render_texbox() -> np.ndarray:
+    """The textured-OBJ fixture golden (tests/test_tex_import.py)."""
+    from mcrt_tpu import RenderConfig, Renderer
+    from mcrt_tpu.config import AccelType, IntegratorConfig
+    from mcrt_tpu.scene.builders import scene_from_obj
+
+    scene, camera = scene_from_obj(
+        os.path.join(os.path.dirname(GOLDEN_DIR), "assets", "texbox.obj"),
+        camera_kw=dict(eye=(0.0, 1.0, 2.5), target=(0.0, 0.8, 0.0),
+                       fov_deg=50.0),
+    )
+    cfg = RenderConfig(
+        width=32, height=32, spp=16, samples_per_pass=16,
+        accel=AccelType.BRUTE, integrator=IntegratorConfig(max_depth=3),
+    )
+    return np.asarray(Renderer(scene, camera, cfg).render())
+
+
 def main():
     os.makedirs(GOLDEN_DIR, exist_ok=True)
     for name in SCENES:
@@ -32,6 +50,10 @@ def main():
         path = os.path.join(GOLDEN_DIR, f"{name}.npz")
         np.savez_compressed(path, image=img.astype(np.float16))
         print(f"{name}: mean {img.mean():.4f} -> {path}")
+    img = render_texbox()
+    path = os.path.join(GOLDEN_DIR, "texbox.npz")
+    np.savez_compressed(path, image=img.astype(np.float16))
+    print(f"texbox: mean {img.mean():.4f} -> {path}")
 
 
 if __name__ == "__main__":
