@@ -178,6 +178,23 @@ def build_blocked(geom: Geometry,
         except ImportError:
             sah = None
 
+    # block fill strategy: "full" cuts the SAH spatial order at exactly 128
+    # triangles per block (100% fill — every dense MT lane tests a real
+    # triangle), "leaf" keeps SAH leaves block-aligned (tighter AABBs but
+    # partially-filled blocks whose padding lanes are wasted VPU work)
+    pack_full = _os.environ.get("MCRT_SAH_PACK", "leaf") == "full"
+    if sah is not None and pack_full:
+        order = np.asarray(sah[0])
+        p0 = pos[tri_idx[order, 0]]
+        p1 = pos[tri_idx[order, 1]]
+        p2 = pos[tri_idx[order, 2]]
+        slot_ids = prim_ids[order].astype(np.int32)
+        n = p0.shape[0]
+        sah = None  # fall through to the dense-cut packing below
+        dense_cut = True
+    else:
+        dense_cut = False
+
     if sah is not None:
         order, bstart = sah
         # greedily merge consecutive SAH leaves into fuller 128-slot blocks:
@@ -202,7 +219,7 @@ def build_blocked(geom: Geometry,
         p2 = np.where(filled[:, None], pos[tri_idx[src, 2]], 0.0)
         slot_ids = np.where(filled, prim_ids[src], -1).astype(np.int32)
         n = len(slots)
-    else:
+    elif not dense_cut:
         cent_pos = (pos[tri_idx[:, 0]] + pos[tri_idx[:, 1]]
                     + pos[tri_idx[:, 2]]) / 3.0
         lo = cent_pos.min(0)
@@ -363,28 +380,50 @@ def _coherence_order(rays: Rays, bounds: jax.Array) -> jax.Array:
     dcode = (_expand10(dq[:, 0]) << 2) | (_expand10(dq[:, 1]) << 1) | _expand10(dq[:, 2])
     key = ((code << 9) | dcode) >> 2  # top bits reserved for the dead flag
     key = jnp.where(rays.active, key, jnp.uint32(0xFFFFFFFF))
-    return jnp.argsort(key).astype(jnp.int32)
+    # single-operand sort: replace the key's low bits with the ray index and
+    # sort ONE u32 array instead of argsort's (key, iota) pair — ~2x less
+    # data through the TPU sorting network.  The dropped low key bits only
+    # blur ordering WITHIN a coherence bucket, which the 256-ray tiles
+    # quantize away anyway.
+    n = key.shape[0]
+    idx_bits = max(1, (n - 1).bit_length())
+    mask = jnp.uint32((1 << idx_bits) - 1)
+    packed = (key & ~mask) | jnp.arange(n, dtype=jnp.uint32)
+    return (jnp.sort(packed) & mask).astype(jnp.int32)
 
 
-def _pack_rays(rays: Rays, anyhit: jax.Array | None = None) -> jax.Array:
-    """(8, Npad) transposed ray table: rows o.xyz, d.xyz, tmin, tmax — rays
-    on lanes.  Inactive rays get tmax=-BIG so every test fails.  Lanes
-    flagged ``anyhit`` carry tmin encoded as -(tmin+1): the closest kernel
-    terminates them on their FIRST accepted hit (occlusion semantics inside
-    a closest-hit wavefront — fused shadow rays)."""
-    n = rays.n
-    npad = -(-n // TILE) * TILE
+def _ray_table(rays: Rays, anyhit: jax.Array | None = None) -> jax.Array:
+    """(N, 8) row-major ray table: o.xyz, d.xyz, tmin, tmax.  Inactive rays
+    get tmax=-BIG so every test fails.  Lanes flagged ``anyhit`` carry tmin
+    encoded as -(tmin+1): the closest kernel terminates them on their FIRST
+    accepted hit (occlusion semantics inside a closest-hit wavefront —
+    fused shadow rays).  Kept row-major so the coherence reorder is ONE
+    contiguous 32-byte-row gather instead of nine scattered column gathers
+    (measured 12 ms -> ~1 ms per query at 512^2 on v5e)."""
     tmax = jnp.where(rays.active, jnp.minimum(rays.tmax, BIG), -BIG)
     tmin = rays.tmin
     if anyhit is not None:
         tmin = jnp.where(anyhit, -(tmin + 1.0), tmin)
-    packed = jnp.concatenate(
+    return jnp.concatenate(
         [rays.o, rays.d, tmin[:, None], tmax[:, None]], axis=1
-    ).T  # (8, N)
+    )
+
+
+def _pack_table(table: jax.Array) -> jax.Array:
+    """(N, 8) -> (8, Npad) transposed + TILE-padded kernel input (rays on
+    lanes; padding rays carry tmax=-BIG)."""
+    n = table.shape[0]
+    npad = -(-n // TILE) * TILE
+    packed = table.T
     if npad != n:
         pad = jnp.zeros((8, npad - n), jnp.float32).at[7].set(-BIG)
         packed = jnp.concatenate([packed, pad], axis=1)
     return packed
+
+
+def _pack_rays(rays: Rays, anyhit: jax.Array | None = None) -> jax.Array:
+    """(8, Npad) transposed ray table (see ``_ray_table``/``_pack_table``)."""
+    return _pack_table(_ray_table(rays, anyhit))
 
 
 def _ray_rows(rt):
@@ -429,7 +468,17 @@ def _mt_block(rows, ox, oy, oz, dx, dy, dz, tmn, tmx, best_t):
 # --------------------------------------------------------------------------
 
 
-def _cull_kernel(rays_ref, chunk_ref, aabb_ref, key_ref):
+# SMEM chunk-table cap (ADVICE r3): the per-128-block chunk boxes live in
+# SMEM scalars; above this many chunks (512 chunks = 16 KB = 64k blocks =
+# 8.4M triangles) skip the level-1 test rather than risk SMEM exhaustion.
+MAX_SMEM_CHUNKS = 512
+
+
+def _cull_kernel(rays_ref, *args, use_chunks=True):
+    if use_chunks:
+        chunk_ref, aabb_ref, key_ref = args
+    else:
+        aabb_ref, key_ref = args
     rt = rays_ref[:]
     ox, oy, oz, dx, dy, dz, ix, iy, iz, tmn, tmx, _ = _ray_rows(rt)
     any_live = jnp.max(rt[7:8]) > 0.0
@@ -439,7 +488,33 @@ def _cull_kernel(rays_ref, chunk_ref, aabb_ref, key_ref):
         key_ref[:, pl.ds(c * 128, 128)] = jnp.full((8, 128), BIG,
                                                    jnp.float32)
 
+    def dense(c):
+        a = aabb_ref[pl.ds(c * 128, 128), :]  # (128, 8)
+        lox, loy, loz = a[:, 0:1], a[:, 1:2], a[:, 2:3]
+        hix, hiy, hiz = a[:, 3:4], a[:, 4:5], a[:, 5:6]
+        tx0, tx1 = (lox - ox) * ix, (hix - ox) * ix
+        ty0, ty1 = (loy - oy) * iy, (hiy - oy) * iy
+        tz0, tz1 = (loz - oz) * iz, (hiz - oz) * iz
+        tn = jnp.maximum(
+            jnp.maximum(jnp.minimum(tx0, tx1), jnp.minimum(ty0, ty1)),
+            jnp.maximum(jnp.minimum(tz0, tz1), tmn),
+        )
+        tf = jnp.minimum(
+            jnp.minimum(jnp.maximum(tx0, tx1), jnp.maximum(ty0, ty1)),
+            jnp.minimum(jnp.maximum(tz0, tz1), tmx),
+        )
+        enter = tn <= tf  # (128, T); NaN rows compare false everywhere
+        tkey = jnp.min(jnp.where(enter, tn, BIG), axis=1, keepdims=True)
+        # the 8-row broadcast sidesteps dynamic-sublane stores; the
+        # wrapper reads row 0 of each tile's 8-row group
+        key_ref[:, pl.ds(c * 128, 128)] = jnp.broadcast_to(
+            tkey.reshape(1, 128), (8, 128)
+        )
+
     def chunk(c, _):
+        if not use_chunks:
+            dense(c)
+            return 0
         # level 1: one union box (SMEM scalars) vs the whole tile — blocks
         # are Morton/SAH-ordered, so most 128-block chunks are spatially
         # far from the tile and skip the dense per-block test entirely
@@ -461,27 +536,7 @@ def _cull_kernel(rays_ref, chunk_ref, aabb_ref, key_ref):
 
         @pl.when(enter_any)
         def _():
-            a = aabb_ref[pl.ds(c * 128, 128), :]  # (128, 8)
-            lox, loy, loz = a[:, 0:1], a[:, 1:2], a[:, 2:3]
-            hix, hiy, hiz = a[:, 3:4], a[:, 4:5], a[:, 5:6]
-            tx0, tx1 = (lox - ox) * ix, (hix - ox) * ix
-            ty0, ty1 = (loy - oy) * iy, (hiy - oy) * iy
-            tz0, tz1 = (loz - oz) * iz, (hiz - oz) * iz
-            tn = jnp.maximum(
-                jnp.maximum(jnp.minimum(tx0, tx1), jnp.minimum(ty0, ty1)),
-                jnp.maximum(jnp.minimum(tz0, tz1), tmn),
-            )
-            tf = jnp.minimum(
-                jnp.minimum(jnp.maximum(tx0, tx1), jnp.maximum(ty0, ty1)),
-                jnp.minimum(jnp.maximum(tz0, tz1), tmx),
-            )
-            enter = tn <= tf  # (128, T); NaN rows compare false everywhere
-            tkey = jnp.min(jnp.where(enter, tn, BIG), axis=1, keepdims=True)
-            # the 8-row broadcast sidesteps dynamic-sublane stores; the
-            # wrapper reads row 0 of each tile's 8-row group
-            key_ref[:, pl.ds(c * 128, 128)] = jnp.broadcast_to(
-                tkey.reshape(1, 128), (8, 128)
-            )
+            dense(c)
 
         @pl.when(jnp.logical_not(enter_any))
         def _():
@@ -503,15 +558,21 @@ def _cull(rays_packed: jax.Array, chunk_aabb: jax.Array, aabb: jax.Array,
     npad = rays_packed.shape[1]
     n_tiles = npad // TILE
     nbpad = aabb.shape[0]
+    use_chunks = nbpad // 128 <= MAX_SMEM_CHUNKS
+    in_specs = [
+        pl.BlockSpec((8, TILE), lambda i: (0, i), memory_space=pltpu.VMEM),
+        pl.BlockSpec((nbpad // 128, 8), lambda i: (0, 0),
+                     memory_space=pltpu.SMEM),
+        pl.BlockSpec((nbpad, 8), lambda i: (0, 0), memory_space=pltpu.VMEM),
+    ]
+    operands = (rays_packed, chunk_aabb, aabb)
+    if not use_chunks:
+        in_specs = [in_specs[0], in_specs[2]]
+        operands = (rays_packed, aabb)
     return pl.pallas_call(
-        _cull_kernel,
+        functools.partial(_cull_kernel, use_chunks=use_chunks),
         grid=(n_tiles,),
-        in_specs=[
-            pl.BlockSpec((8, TILE), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((nbpad // 128, 8), lambda i: (0, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((nbpad, 8), lambda i: (0, 0), memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((8, nbpad), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n_tiles * 8, nbpad), jnp.float32),
@@ -520,7 +581,7 @@ def _cull(rays_packed: jax.Array, chunk_aabb: jax.Array, aabb: jax.Array,
             vmem_limit_bytes=96 * 2**20,
         ),
         interpret=interpret,
-    )(rays_packed, chunk_aabb, aabb)
+    )(*operands)
 
 
 def _visit_lists(rays_packed: jax.Array, chunk_aabb: jax.Array,
@@ -953,15 +1014,11 @@ def intersect_blocked(geom: Geometry, accel: BlockedAccel, rays: Rays,
     first accepted hit (fused occlusion semantics): their returned ``t`` is
     meaningless but ``valid`` still means "something blocks"."""
     n = rays.n
+    table = _ray_table(rays, anyhit)
     if sort:
         order = _coherence_order(rays, accel.bounds)
-        rays_q = jax.tree.map(lambda a: jnp.take(a, order, axis=0), rays)
-        anyhit_q = (None if anyhit is None
-                    else jnp.take(anyhit, order, axis=0))
-    else:
-        rays_q = rays
-        anyhit_q = anyhit
-    packed = _pack_rays(rays_q, anyhit_q)
+        table = jnp.take(table, order, axis=0)
+    packed = _pack_table(table)
     t, slot = _query_closest(packed, accel.tri, accel.aabb,
                              accel.chunk_aabb, accel.num_blocks)
     if sort:
@@ -973,6 +1030,11 @@ def intersect_blocked(geom: Geometry, accel: BlockedAccel, rays: Rays,
         flat = lambda a: a.reshape(-1)[:n]
     t, slot = flat(t), flat(slot)
     found = slot >= 0
+    if anyhit is not None:
+        # any-hit lanes carry the kernel's termination sentinel t=-BIG;
+        # never let it escape the kernel boundary (ADVICE r3): those lanes
+        # only answer "blocked?" via `valid`
+        t = jnp.where(anyhit, F32_MAX, t)
     u, v = _resolve_uv(accel.tri, slot, rays)
     u = jnp.where(found, u, 0.0)
     v = jnp.where(found, v, 0.0)
@@ -999,12 +1061,11 @@ def occluded_blocked(geom: Geometry, accel: BlockedAccel,
                      rays: Rays, sort: bool = True) -> jax.Array:
     """Any-hit query (``QueryOcclusion`` analogue, ``radeon_rays.h:270``)."""
     n = rays.n
+    table = _ray_table(rays)
     if sort:
         order = _coherence_order(rays, accel.bounds)
-        rays_q = jax.tree.map(lambda a: jnp.take(a, order, axis=0), rays)
-    else:
-        rays_q = rays
-    packed = _pack_rays(rays_q)
+        table = jnp.take(table, order, axis=0)
+    packed = _pack_table(table)
     out = _query_any(packed, accel.tri, accel.aabb, accel.chunk_aabb,
                      accel.num_blocks)
     blocked = out.reshape(-1)[:n] > 0.0

@@ -54,7 +54,8 @@ from .mesh import RAYS_AXIS
 F32_MAX = float(jnp.finfo(jnp.float32).max)
 
 
-def shard_faces(geom: Geometry, n_shards: int) -> Geometry:
+def shard_faces(geom: Geometry, n_shards: int,
+                return_face_map: bool = False):
     """Partition per-face tables into `n_shards` equal blocks (Morton order
     over centroids so shards are spatially compact, like the blocked accel's
     block decomposition), padded to a common size; vertex arrays replicated.
@@ -63,6 +64,10 @@ def shard_faces(geom: Geometry, n_shards: int) -> Geometry:
     — shard i owns rows [i*Fpad, (i+1)*Fpad).  ``face_valid`` is False on
     padding.  Prim ids returned by the ring intersector index these stacked
     tables directly, so downstream interaction code works unchanged.
+
+    ``return_face_map`` additionally returns the (F_old,) old->new face
+    index map so face-indexed side tables (mesh-light ``tri_index``,
+    ``Lights``) can be remapped to the sharded order.
     """
     idx = np.asarray(geom.indices)
     valid = np.asarray(geom.face_valid)
@@ -95,12 +100,17 @@ def shard_faces(geom: Geometry, n_shards: int) -> Geometry:
     new_attrs = np.asarray(geom.face_attrs)[sel]
     new_attrs[~ok, FA_MAT] = -1.0
     new_attrs[~ok, FA_LIGHT] = -1.0
-    return geom.replace(
+    out = geom.replace(
         indices=jnp.asarray(new_indices),
         face_shape=jnp.asarray(np.where(ok, new_shape, -1).astype(np.int32)),
         face_valid=jnp.asarray(ok),
         face_attrs=jnp.asarray(new_attrs),
     )
+    if not return_face_map:
+        return out
+    face_map = np.full((idx.shape[0],), -1, np.int64)
+    face_map[sel[:n]] = np.arange(n)
+    return out, face_map
 
 
 class ShardedBlockedAccel(struct.PyTreeNode):
@@ -381,9 +391,20 @@ def build_sharded_scene(scene, mesh: Mesh, use_blocked: bool = True):
     (BASELINE config 4).  ``use_blocked`` selects the production Pallas
     accel per shard; ``False`` keeps the O(N) brute oracle (tests)."""
     n_shards = mesh.shape[RAYS_AXIS]
-    geom = shard_faces(scene.geometry, n_shards)
+    geom, face_map = shard_faces(scene.geometry, n_shards,
+                                 return_face_map=True)
     fpad = geom.indices.shape[0] // n_shards
-    scene = scene.replace(geometry=geom)
+    # remap face-indexed side tables to the sharded face order: mesh-light
+    # triangle CDFs reference prim ids (lights.tri_index -> face_vertices),
+    # which would otherwise read the WRONG triangles after the reorder
+    lights = scene.lights
+    if lights.tri_index.shape[0] > 0:
+        old = np.asarray(lights.tri_index)
+        lights = lights.replace(
+            tri_index=jnp.asarray(
+                np.where(old >= 0, face_map[np.maximum(old, 0)], -1)
+                .astype(np.int32)))
+    scene = scene.replace(geometry=geom, lights=lights)
     accel = (_build_shard_accels(geom, n_shards, fpad)
              if use_blocked else None)
     intersect, occluded = make_ring_intersector(mesh, n_shards, fpad, accel)

@@ -32,18 +32,25 @@ CAMERA = dict(eye=(0.0, 1.0, 3.2), target=(0.0, 1.0, 0.0), fov_deg=40.0)
 SIZE = 32
 
 
-def render_fixture(name: str, accel=None) -> np.ndarray:
+def render_fixture(name: str, accel=None, integrator=None,
+                   spp=None, depth=None) -> np.ndarray:
     from mcrt_tpu import RenderConfig, Renderer
-    from mcrt_tpu.config import AccelType, IntegratorConfig
+    from mcrt_tpu.config import AccelType, IntegratorConfig, IntegratorType
     from mcrt_tpu.scene.builders import scene_from_obj
 
-    spp, depth = SCENES[name]
+    d_spp, d_depth = SCENES[name]
+    spp = spp if spp is not None else d_spp
+    depth = depth if depth is not None else d_depth
     scene, camera = scene_from_obj(
         os.path.join(FIXTURE_DIR, f"{name}.obj"), camera_kw=CAMERA
     )
     cfg = RenderConfig(
         width=SIZE, height=SIZE, spp=spp, samples_per_pass=spp,
         accel=accel if accel is not None else AccelType.BRUTE,
-        integrator=IntegratorConfig(max_depth=depth),
+        integrator=IntegratorConfig(
+            type=(integrator if integrator is not None
+                  else IntegratorType.PATH),
+            max_depth=depth,
+        ),
     )
     return np.asarray(Renderer(scene, camera, cfg).render())

@@ -57,3 +57,15 @@ def test_golden_original_blocked_accel():
 
     img = render_fixture("CornellBox-Original", accel=AccelType.BLOCKED)
     _check(img, _load_golden("CornellBox-Original"), tol=0.02)
+
+
+@needs_fixtures
+def test_golden_original_bdpt():
+    """BDPT golden on the cornell fixture (VERDICT r3 item 3c): pins the
+    full strategy enumeration, MIS walk, batched-visibility resolve, and
+    t=1 splat routing."""
+    from mcrt_tpu.config import IntegratorType
+
+    img = render_fixture("CornellBox-Original",
+                         integrator=IntegratorType.BDPT, spp=8, depth=3)
+    _check(img, _load_golden("CornellBox-Original-bdpt"), tol=0.02)

@@ -99,3 +99,44 @@ def test_ring_renders_cornell(ring_setup):
     )(sscene, jnp.asarray(0))
     assert bool(jnp.isfinite(radiance).all())
     assert float(radiance.mean()) > 0.0
+    # and it must MATCH the replicated-scene render (same RNG streams):
+    # catches face-indexed side tables not being remapped to shard order
+    from mcrt_tpu.accel import build_intersector
+    from mcrt_tpu.config import AccelType
+
+    import dataclasses
+
+    rep = build_intersector(scene, dataclasses.replace(cfg,
+                                                       accel=AccelType.BRUTE))
+    ref, _ = jax.jit(
+        lambda s, f: render_sample(s, camera, f, cfg, rep)
+    )(scene, jnp.asarray(0))
+    np.testing.assert_allclose(np.asarray(radiance), np.asarray(ref),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_bdpt_through_ring(ring_setup):
+    """BDPT through the sharded-scene ray ring (VERDICT r3 item 3c): the
+    batched connection-visibility query and both subpath walks must run on
+    the ring intersector and match the replicated-scene BDPT render."""
+    scene, camera, mesh, sscene, inter = ring_setup
+    from mcrt_tpu.accel import build_intersector
+    from mcrt_tpu.config import (
+        AccelType, IntegratorConfig, IntegratorType, RenderConfig,
+    )
+    from mcrt_tpu.renderer import render_sample
+
+    cfg = RenderConfig(
+        width=16, height=16, spp=1, accel=AccelType.BRUTE,
+        integrator=IntegratorConfig(type=IntegratorType.BDPT, max_depth=2),
+    )
+    ring_img, _ = jax.jit(
+        lambda s, f: render_sample(s, camera, f, cfg, inter)
+    )(sscene, jnp.asarray(0))
+    rep = build_intersector(scene, cfg)
+    ref_img, _ = jax.jit(
+        lambda s, f: render_sample(s, camera, f, cfg, rep)
+    )(scene, jnp.asarray(0))
+    assert bool(jnp.isfinite(ring_img).all())
+    np.testing.assert_allclose(np.asarray(ring_img), np.asarray(ref_img),
+                               rtol=1e-4, atol=1e-5)

@@ -54,6 +54,15 @@ def main():
     path = os.path.join(GOLDEN_DIR, "texbox.npz")
     np.savez_compressed(path, image=img.astype(np.float16))
     print(f"texbox: mean {img.mean():.4f} -> {path}")
+    # BDPT golden: same cornell fixture through the bidirectional
+    # integrator (VERDICT r3 item 3c)
+    from mcrt_tpu.config import IntegratorType
+
+    img = render_fixture("CornellBox-Original",
+                         integrator=IntegratorType.BDPT, spp=8, depth=3)
+    path = os.path.join(GOLDEN_DIR, "CornellBox-Original-bdpt.npz")
+    np.savez_compressed(path, image=img.astype(np.float16))
+    print(f"CornellBox-Original-bdpt: mean {img.mean():.4f} -> {path}")
 
 
 if __name__ == "__main__":
