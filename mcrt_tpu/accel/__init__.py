@@ -33,6 +33,28 @@ class Intersector(NamedTuple):
     intersect_fused: Callable[[Scene, Rays, jax.Array], Hit] | None = None
 
 
+def blocked_intersector(acc, sort: bool | None = None) -> Intersector:
+    """Bind blocked-accel query closures around an accel pytree.  The accel
+    may be a build-time constant OR a traced value (e.g. the output of
+    ``refit_blocked`` inside a fused animate+render program)."""
+    from .pallas_blocked import intersect_blocked, occluded_blocked
+
+    if sort is None:
+        # the per-query ray coherence sort only pays off when culling can
+        # actually skip blocks; for near-single-block scenes it is pure
+        # overhead (2 argsorts + 4 permutation gathers per bounce)
+        sort = acc.num_blocks >= 8
+    return Intersector(
+        intersect=lambda s, r: intersect_blocked(s.geometry, acc, r,
+                                                 sort=sort),
+        occluded=lambda s, r: occluded_blocked(s.geometry, acc, r,
+                                               sort=sort),
+        accel=acc,
+        intersect_fused=lambda s, r, ah: intersect_blocked(
+            s.geometry, acc, r, sort=sort, anyhit=ah),
+    )
+
+
 def build_intersector(scene: Scene, cfg: RenderConfig) -> Intersector:
     """Build the accel for `scene` and bind query closures — the analogue of
     ``IntersectionApi::Commit`` (``radeon_rays.h:231-241``)."""
@@ -62,24 +84,10 @@ def build_intersector(scene: Scene, cfg: RenderConfig) -> Intersector:
             accel=None,
         )
     if accel_type == AccelType.BLOCKED:
-        from .pallas_blocked import (
-            build_blocked, intersect_blocked, occluded_blocked,
-        )
+        from .pallas_blocked import build_blocked
 
         acc = build_blocked(scene.geometry, cfg.bvh)
-        # the per-query ray coherence sort only pays off when culling can
-        # actually skip blocks; for near-single-block scenes it is pure
-        # overhead (2 argsorts + 4 permutation gathers per bounce)
-        sort = acc.num_blocks >= 8
-        return Intersector(
-            intersect=lambda s, r: intersect_blocked(s.geometry, acc, r,
-                                                     sort=sort),
-            occluded=lambda s, r: occluded_blocked(s.geometry, acc, r,
-                                                   sort=sort),
-            accel=acc,
-            intersect_fused=lambda s, r, ah: intersect_blocked(
-                s.geometry, acc, r, sort=sort, anyhit=ah),
-        )
+        return blocked_intersector(acc)
     if accel_type == AccelType.LBVH:
         from .lbvh import build_lbvh
         from .traverse import intersect_bvh, occluded_bvh

@@ -207,11 +207,13 @@ def build_blocked(geom: Geometry,
         merged.append(bstart[-1])
         bstart = np.asarray(merged)
         # scatter each (merged) leaf into its own fixed 128-slot block
+        # (vectorized: repeat/arange segment addressing, no Python loop)
         n_real_blocks = len(bstart) - 1
         slots = np.full((n_real_blocks * BLOCK,), -1, np.int64)
-        for b in range(n_real_blocks):
-            s0, e0 = bstart[b], bstart[b + 1]
-            slots[b * BLOCK: b * BLOCK + (e0 - s0)] = order[s0:e0]
+        lens = bstart[1:] - bstart[:-1]
+        block_of = np.repeat(np.arange(n_real_blocks), lens)
+        pos_in_block = np.arange(len(order)) - np.repeat(bstart[:-1], lens)
+        slots[block_of * BLOCK + pos_in_block] = order
         filled = slots >= 0
         src = np.clip(slots, 0, None)
         p0 = np.where(filled[:, None], pos[tri_idx[src, 0]], 0.0)
@@ -246,14 +248,18 @@ def build_blocked(geom: Geometry,
     aabb[:, 6:8] = 0.0
     pmin = np.minimum(np.minimum(p0, p1), p2)
     pmax = np.maximum(np.maximum(p0, p1), p2)
-    # per-block bounds over REAL slots only (padding/unfilled excluded)
+    # per-block bounds over REAL slots only (padding/unfilled excluded),
+    # vectorized as a padded segmented min/max
     real = slot_ids >= 0 if sah is not None else np.ones((n,), bool)
-    for b in range(nb):
-        s, e = b * BLOCK, min((b + 1) * BLOCK, n)
-        if s < n and real[s:e].any():
-            m = real[s:e]
-            aabb[b, 0:3] = pmin[s:e][m].min(0)
-            aabb[b, 3:6] = pmax[s:e][m].max(0)
+    pmn = np.full((nt, 3), BIG, np.float32)
+    pmx = np.full((nt, 3), -BIG, np.float32)
+    pmn[:n][real] = pmin[real]
+    pmx[:n][real] = pmax[real]
+    blo = pmn.reshape(nb, BLOCK, 3).min(1)
+    bhi = pmx.reshape(nb, BLOCK, 3).max(1)
+    nonempty = blo[:, 0] <= bhi[:, 0]
+    aabb[:nb, 0:3] = np.where(nonempty[:, None], blo, BIG)
+    aabb[:nb, 3:6] = np.where(nonempty[:, None], bhi, -BIG)
 
     # empty (padded) boxes must FAIL the slab test.  An inverted box
     # (lo=+BIG > hi=-BIG) *passes* it — the per-axis min/max swap turns it
@@ -276,6 +282,62 @@ def build_blocked(geom: Geometry,
         bounds=jnp.asarray(bounds),
         chunk_aabb=jnp.asarray(_chunk_bounds(aabb)),
         num_blocks=nb,
+    )
+
+
+def refit_blocked(accel: BlockedAccel, geom: Geometry) -> BlockedAccel:
+    """In-jit accel refit for transform-only edits (VERDICT r3 item 6) —
+    the ``Commit``-refit path the reference takes for dynamic scenes
+    (``RTScene.cpp:317-391`` rewrites transforms and re-Commits).
+
+    Keeps the build-time block decomposition (``slot_prim`` is the static
+    slot -> primitive map) and recomputes only the geometry-dependent
+    tables from the CURRENT vertex positions: triangle rows, per-block and
+    per-chunk AABBs, and scene bounds — a segmented min/max, no re-sort,
+    fully jittable (an animation step fuses transform + refit + render into
+    one XLA program).  For SBVH decompositions the refitted block bounds use
+    FULL triangle boxes (the clipped per-ref bounds cannot be recomputed
+    in-jit), which is conservative and therefore correct, just less tight.
+    Rebuild on topology changes; refit only moves vertices."""
+    nt = accel.num_slots
+    nb = accel.num_blocks
+    nbpad = accel.aabb.shape[0]
+    slot = accel.slot_prim  # (NT,) prim id or -1
+    filled = slot >= 0
+    tri_idx = jnp.take(geom.indices, jnp.maximum(slot, 0), axis=0,
+                       mode="clip")  # (NT, 3)
+    p0 = jnp.take(geom.positions, tri_idx[:, 0], axis=0, mode="clip")
+    p1 = jnp.take(geom.positions, tri_idx[:, 1], axis=0, mode="clip")
+    p2 = jnp.take(geom.positions, tri_idx[:, 2], axis=0, mode="clip")
+    f3 = filled[:, None]
+    p0 = jnp.where(f3, p0, 0.0)
+    e1 = jnp.where(f3, p1 - p0, 0.0)
+    e2 = jnp.where(f3, p2 - p0, 0.0)
+    tri = jnp.zeros((16, nt), jnp.float32)
+    tri = tri.at[0:3].set(p0.T).at[3:6].set(e1.T).at[6:9].set(e2.T)
+
+    pmin = jnp.where(f3, jnp.minimum(jnp.minimum(p0, p1), p2), BIG)
+    pmax = jnp.where(f3, jnp.maximum(jnp.maximum(p0, p1), p2), -BIG)
+    blo = pmin.reshape(nb, BLOCK, 3).min(axis=1)  # (nb, 3)
+    bhi = pmax.reshape(nb, BLOCK, 3).max(axis=1)
+    empty = (blo[:, 0] > bhi[:, 0])[:, None]
+    nan = jnp.float32(jnp.nan)
+    aabb = jnp.full((nbpad, 8), nan, jnp.float32).at[:, 6:8].set(0.0)
+    aabb = aabb.at[:nb, 0:3].set(jnp.where(empty, nan, blo))
+    aabb = aabb.at[:nb, 3:6].set(jnp.where(empty, nan, bhi))
+
+    nch = nbpad // 128
+    ch = aabb.reshape(nch, 128, 8)
+    clo = jnp.nanmin(ch[:, :, 0:3], axis=1)
+    chi = jnp.nanmax(ch[:, :, 3:6], axis=1)
+    chunk = jnp.concatenate(
+        [clo, chi, jnp.zeros((nch, 2), jnp.float32)], axis=1)
+
+    lo = jnp.min(jnp.where(f3, pmin, BIG), axis=0)
+    hi = jnp.max(jnp.where(f3, pmax, -BIG), axis=0)
+    return accel.replace(
+        tri=tri, aabb=aabb, chunk_aabb=chunk,
+        bounds=jnp.stack([lo, hi]),
     )
 
 
@@ -309,9 +371,11 @@ def _pack_ref_blocks(prim_ids, tri_idx, pos, ref_tri, ref_bounds, bstart):
     bstart = np.asarray(merged)
     nb = len(bstart) - 1
     slots = np.full((nb * BLOCK,), -1, np.int64)
-    for b in range(nb):
-        s0, e0 = bstart[b], bstart[b + 1]
-        slots[b * BLOCK: b * BLOCK + (e0 - s0)] = np.arange(s0, e0)
+    n_refs = int(bstart[-1])
+    lens = bstart[1:] - bstart[:-1]
+    block_of = np.repeat(np.arange(nb), lens)
+    pos_in_block = np.arange(n_refs) - np.repeat(bstart[:-1], lens)
+    slots[block_of * BLOCK + pos_in_block] = np.arange(n_refs)
     filled = slots >= 0
     src = np.clip(slots, 0, None)  # ref index per slot
     t_of = ref_tri[src]  # local tri index per slot
@@ -332,12 +396,14 @@ def _pack_ref_blocks(prim_ids, tri_idx, pos, ref_tri, ref_bounds, bstart):
     aabb[:, 0:3] = BIG
     aabb[:, 3:6] = -BIG
     aabb[:, 6:8] = 0.0
-    for b in range(nb):
-        s0, e0 = bstart[b], bstart[b + 1]
-        if e0 > s0:
-            rb = ref_bounds[s0:e0]
-            aabb[b, 0:3] = rb[:, 0:3].min(0)
-            aabb[b, 3:6] = rb[:, 3:6].max(0)
+    # block AABBs from CLIPPED per-ref bounds, vectorized via the same
+    # slot scatter (padding slots keep the +-BIG identity)
+    rlo = np.full((nb * BLOCK, 3), BIG, np.float32)
+    rhi = np.full((nb * BLOCK, 3), -BIG, np.float32)
+    rlo[filled] = ref_bounds[src[filled], 0:3]
+    rhi[filled] = ref_bounds[src[filled], 3:6]
+    aabb[:nb, 0:3] = rlo.reshape(nb, BLOCK, 3).min(1)
+    aabb[:nb, 3:6] = rhi.reshape(nb, BLOCK, 3).max(1)
     empty = aabb[:, 0] > aabb[:, 3]
     aabb[empty, 0:6] = np.nan
 

@@ -131,6 +131,36 @@ class SceneAnimator(struct.PyTreeNode):
         return self.transformed(jnp.asarray(t))
 
 
+def make_animated_frame(animator: SceneAnimator, camera, cfg,
+                        base_accel=None):
+    """Fused transform + accel REFIT + render, one XLA program per frame —
+    the dynamic-scene path (VERDICT r3 item 6).
+
+    The reference refits its BVH via ``Commit`` for per-frame transform
+    edits (``RTScene.cpp:317-391``); here the block decomposition from the
+    build-time accel is kept and ``refit_blocked`` recomputes triangle rows
+    + block/chunk AABBs in-jit from the transformed vertices, so an
+    animation step never leaves the device.  Returns
+    ``frame_fn(to_world, accum, frame) -> (scene, accum')`` (jit it once;
+    transform edits are data, not new programs).
+    """
+    from ..accel import blocked_intersector
+    from ..accel.pallas_blocked import build_blocked, refit_blocked
+    from ..renderer import render_frame_fn
+
+    if base_accel is None:
+        base_accel = build_blocked(animator.base.geometry, cfg.bvh)
+
+    def frame_fn(to_world, accum, frame):
+        scene = animator.transformed(to_world)
+        acc = refit_blocked(base_accel, scene.geometry)
+        inter = blocked_intersector(acc, sort=base_accel.num_blocks >= 8)
+        return scene, render_frame_fn(scene, camera, accum, frame, cfg,
+                                      inter)
+
+    return frame_fn
+
+
 def translation(offset) -> np.ndarray:
     t = np.eye(4, dtype=np.float32)
     t[:3, 3] = np.asarray(offset, np.float32)
