@@ -100,6 +100,28 @@ def cmd_render(args) -> int:
     return 0
 
 
+def cmd_view(args) -> int:
+    """Progressive viewer: serve the accumulating render over HTTP with
+    camera-orbit and material edits (the GUI/editor stand-in,
+    ``PathTracingGUI.cpp:32`` / ``RTDisplayPass.cpp:15-24``)."""
+    from .renderer import Renderer
+    from .viewer import ProgressiveViewer
+
+    cfg = _load_config(args)
+    scene, camera = _load_scene(args)
+    r = Renderer(scene, camera, cfg)
+    v = ProgressiveViewer(r, host=args.host, port=args.port)
+    print(f"serving http://{args.host}:{v.port}/ "
+          f"({cfg.width}x{cfg.height}, progressive)", flush=True)
+    try:
+        v.serve()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        v.stop()
+    return 0
+
+
 def cmd_info(args) -> int:
     import jax
 
@@ -147,6 +169,20 @@ def main(argv=None) -> int:
                     help="write the accumulated image every N spp "
                          "(progressive-viewer stand-in)")
     pr.set_defaults(fn=cmd_render)
+
+    pv = sub.add_parser("view", help="progressive HTTP viewer with edits")
+    pv.add_argument("--scene", default="cornell_box")
+    pv.add_argument("--obj", default=None)
+    pv.add_argument("--config", default=None)
+    pv.add_argument("--host", default="127.0.0.1")
+    pv.add_argument("--port", type=int, default=8000)
+    pv.add_argument("--width", type=int, default=0)
+    pv.add_argument("--height", type=int, default=0)
+    pv.add_argument("--spp", type=int, default=0)
+    pv.add_argument("--max-depth", type=int, default=0)
+    pv.add_argument("--integrator", choices=["path", "bdpt"], default=None)
+    pv.add_argument("--progressive", type=int, default=0)
+    pv.set_defaults(fn=cmd_view)
 
     pi = sub.add_parser("info", help="device + runtime info")
     pi.set_defaults(fn=cmd_info)

@@ -1,0 +1,243 @@
+"""Progressive HTTP viewer — the interactive-editor stand-in.
+
+Closes the reference's last application-layer component
+(``GUI/PathTracingGUI.cpp:32`` ImGui editor + ``RTDisplayPass.cpp:15-24``
+display): a headless-friendly live view of the accumulating image plus the
+two interactive edit loops the reference's GUI drives —
+
+- **camera move** -> accumulation reset (``FreeCameraViewController``'s
+  ``bMovedInLastUpdate`` signal feeding ``RTPathTracingPass.cpp:49-53``),
+  exposed as orbit/dolly controls around the scene center;
+- **material edit** -> scene re-upload + reset
+  (``RTUberMaterialComponent`` dirty flag -> ``RTScene.cpp:370-390``),
+  exposed as per-material diffuse/roughness setters.
+
+Serves a single-page UI at ``/`` (auto-refreshing image + controls), the
+current tonemapped frame at ``/image.png``, and a JSON status line at
+``/api/status`` (spp + resolution — the GUI's spp/render-time readout,
+``PathTracingGUI.cpp:116-117``).  The render loop runs in the calling
+thread (``serve``); HTTP handlers only enqueue edits, which the loop
+applies between progressive steps — the single-jit-stream discipline.
+
+Usage: ``python -m mcrt_tpu view --scene cornell_box --port 8000``.
+"""
+from __future__ import annotations
+
+import io
+import json
+import threading
+import urllib.parse
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import numpy as np
+
+_PAGE = """<!doctype html>
+<html><head><title>mcrt_tpu viewer</title><style>
+body { background:#181818; color:#ddd; font-family:monospace; }
+img { image-rendering:pixelated; width:512px; border:1px solid #444; }
+button { margin:2px; } input { width: 56px; }
+</style></head><body>
+<h3>mcrt_tpu progressive viewer</h3>
+<div><img id="view" src="/image.png"></div>
+<div id="status">-</div>
+<div>
+ orbit:
+ <button onclick="cam(-0.2,0)">&larr;</button>
+ <button onclick="cam(0.2,0)">&rarr;</button>
+ <button onclick="cam(0,0.15)">&uarr;</button>
+ <button onclick="cam(0,-0.15)">&darr;</button>
+ dolly:
+ <button onclick="dolly(0.9)">+</button>
+ <button onclick="dolly(1.1)">-</button>
+</div>
+<div>
+ material <input id="mid" value="0"> diffuse
+ <input id="r" value="0.6"> <input id="g" value="0.6"> <input id="b" value="0.6">
+ roughness <input id="rough" value="">
+ <button onclick="mat()">apply</button>
+</div>
+<script>
+async function tick() {
+  const s = await (await fetch('/api/status')).json();
+  document.getElementById('status').textContent =
+    s.width + 'x' + s.height + '  spp=' + s.spp;
+  document.getElementById('view').src = '/image.png?ts=' + Date.now();
+}
+setInterval(tick, 1000);
+function cam(yaw, pitch) {
+  fetch('/api/camera?yaw=' + yaw + '&pitch=' + pitch);
+}
+function dolly(f) { fetch('/api/camera?dolly=' + f); }
+function mat() {
+  const q = new URLSearchParams({
+    id: document.getElementById('mid').value,
+    r: document.getElementById('r').value,
+    g: document.getElementById('g').value,
+    b: document.getElementById('b').value,
+    roughness: document.getElementById('rough').value,
+  });
+  fetch('/api/material?' + q);
+}
+</script></body></html>
+"""
+
+
+class ProgressiveViewer:
+    """Owns a :class:`~mcrt_tpu.renderer.Renderer` and serves its
+    accumulator over HTTP while stepping it progressively."""
+
+    def __init__(self, renderer, host: str = "127.0.0.1", port: int = 8000):
+        self.renderer = renderer
+        self._edits: list = []
+        self._edit_lock = threading.Lock()
+        self._stop = threading.Event()
+        # orbit state: pivot at the scene center (the editor's entity-frame
+        # orbit), eye from the current camera
+        self._pivot = np.asarray(renderer.scene.center, np.float32)
+        self._eye = np.asarray(renderer.camera.position, np.float32)
+        self._up = (0.0, 1.0, 0.0)
+        viewer = self
+
+        class Handler(BaseHTTPRequestHandler):
+            def log_message(self, *a):  # quiet
+                pass
+
+            def do_GET(self):
+                viewer._handle(self)
+
+        self.server = ThreadingHTTPServer((host, port), Handler)
+        self.port = self.server.server_port
+        self._http_thread = threading.Thread(
+            target=self.server.serve_forever, daemon=True)
+        self._http_thread.start()
+
+    # ---- HTTP ----------------------------------------------------------
+    def _handle(self, req: BaseHTTPRequestHandler):
+        url = urllib.parse.urlparse(req.path)
+        q = dict(urllib.parse.parse_qsl(url.query))
+        if url.path == "/":
+            self._send(req, 200, _PAGE.encode(), "text/html")
+        elif url.path == "/image.png":
+            self._send(req, 200, self.png_bytes(), "image/png")
+        elif url.path == "/api/status":
+            st = self.status()
+            self._send(req, 200, json.dumps(st).encode(), "application/json")
+        elif url.path == "/api/camera":
+            self.enqueue_orbit(
+                yaw=float(q.get("yaw", 0.0)), pitch=float(q.get("pitch", 0.0)),
+                dolly=float(q.get("dolly", 1.0)),
+            )
+            self._send(req, 200, b"{}", "application/json")
+        elif url.path == "/api/material":
+            kw = {}
+            if all(k in q for k in ("r", "g", "b")):
+                kw["diffuse"] = (float(q["r"]), float(q["g"]), float(q["b"]))
+            if q.get("roughness"):
+                kw["roughness"] = float(q["roughness"])
+            self.enqueue_material(int(q.get("id", 0)), **kw)
+            self._send(req, 200, b"{}", "application/json")
+        else:
+            self._send(req, 404, b"not found", "text/plain")
+
+    @staticmethod
+    def _send(req, code, body: bytes, ctype: str):
+        req.send_response(code)
+        req.send_header("Content-Type", ctype)
+        req.send_header("Content-Length", str(len(body)))
+        req.send_header("Cache-Control", "no-store")
+        req.end_headers()
+        req.wfile.write(body)
+
+    # ---- state ---------------------------------------------------------
+    def png_bytes(self) -> bytes:
+        from .utils.image import to_srgb_u8
+        from PIL import Image
+
+        r = self.renderer
+        img = np.asarray(r.display_image()).reshape(
+            r.cfg.height, r.cfg.width, 3)
+        buf = io.BytesIO()
+        Image.fromarray(to_srgb_u8(img, flip_vertical=True)).save(
+            buf, format="PNG")
+        return buf.getvalue()
+
+    def status(self) -> dict:
+        r = self.renderer
+        return {"spp": int(r.accum.frame), "width": r.cfg.width,
+                "height": r.cfg.height}
+
+    # ---- edits (enqueued by HTTP threads, applied by the render loop) --
+    def enqueue_orbit(self, yaw=0.0, pitch=0.0, dolly=1.0):
+        with self._edit_lock:
+            self._edits.append(("camera", (yaw, pitch, dolly)))
+
+    def enqueue_material(self, mat_id: int, **kw):
+        with self._edit_lock:
+            self._edits.append(("material", (mat_id, kw)))
+
+    def _apply_edits(self):
+        with self._edit_lock:
+            edits, self._edits = self._edits, []
+        for kind, payload in edits:
+            if kind == "camera":
+                yaw, pitch, dolly = payload
+                v = self._eye - self._pivot
+                cy, sy = np.cos(yaw), np.sin(yaw)
+                v = np.asarray(
+                    [cy * v[0] + sy * v[2], v[1], -sy * v[0] + cy * v[2]],
+                    np.float32)
+                r_xz = float(np.linalg.norm([v[0], v[2]]))
+                ang = float(np.arctan2(v[1], r_xz)) + pitch
+                ang = float(np.clip(ang, -1.45, 1.45))
+                rad = float(np.linalg.norm(v)) * dolly
+                v = np.asarray([
+                    v[0] / max(r_xz, 1e-6) * np.cos(ang),
+                    np.sin(ang),
+                    v[2] / max(r_xz, 1e-6) * np.cos(ang),
+                ], np.float32) * rad
+                self._eye = self._pivot + v
+                from .camera.pinhole import PinholeCamera
+
+                cam = self.renderer.camera
+                self.renderer.update_camera(PinholeCamera.look_at(
+                    eye=self._eye, target=self._pivot, up=self._up,
+                    fov_deg=float(np.rad2deg(
+                        2.0 * np.arctan(float(cam.tan_half_fov)))),
+                    aspect=float(cam.aspect),
+                ))
+            elif kind == "material":
+                mat_id, kw = payload
+                import jax.numpy as jnp
+
+                scene = self.renderer.scene
+                mats = scene.materials
+                if "diffuse" in kw:
+                    mats = mats.replace(diffuse=mats.diffuse.at[mat_id].set(
+                        jnp.asarray(kw["diffuse"], jnp.float32)))
+                if "roughness" in kw:
+                    mats = mats.replace(
+                        roughness=mats.roughness.at[mat_id].set(
+                            kw["roughness"]))
+                # material-only edit: no accel rebuild (RTScene.cpp:370-390)
+                self.renderer.update_scene(scene.replace(materials=mats),
+                                           rebuild_accel=False)
+
+    # ---- loop ----------------------------------------------------------
+    def serve(self, max_steps: int | None = None):
+        """Run the render loop in this thread (HTTP is already served from
+        the daemon thread started at construction); progressive
+        accumulation continues until interrupted or ``max_steps`` frames
+        have been stepped."""
+        steps = 0
+        while not self._stop.is_set():
+            self._apply_edits()
+            if not self.renderer.stopped():
+                self.renderer.step(1)
+            steps += 1
+            if max_steps is not None and steps >= max_steps:
+                break
+        # the HTTP server keeps serving the final image until stop()
+
+    def stop(self):
+        self._stop.set()
+        self.server.shutdown()
