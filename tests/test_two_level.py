@@ -102,3 +102,71 @@ def test_two_level_memory_sharing():
     # 3 instances: baked face table alone already outweighs the shared BLAS
     assert baked_face_bytes > 2 * blas_bytes / 3
     assert accel.world_to_object.shape == (3, 4, 4)
+
+
+def _grid_setup(nx=10, nz=10):
+    pos, idx, _ = icosphere((0.0, 0.0, 0.0), 0.4, subdiv=1)
+    sb = SceneBuffers()
+    sb.add_mesh(pos, idx, 0)
+    positions, normals, uvs, indices, face_shape, shape_mat, _ = sb.concat()
+    src = build_scene(positions, normals, uvs, indices, face_shape,
+                      shape_mat, [UberMaterial(diffuse=(0.5,) * 3)])
+    tws = []
+    for ix in range(nx):
+        for iz in range(nz):
+            tws.append(translation((ix * 1.2, 0.0, iz * 1.2)))
+    to_world = np.stack(tws)
+    accel = build_two_level(src.geometry, to_world,
+                            np.arange(len(tws), dtype=np.int32))
+    return src.geometry, accel
+
+
+def test_pair_kernel_matches_loop_100_instances():
+    """The pair-list kernel vs the sequential per-instance loop oracle at
+    100 instances (VERDICT r3 item 4 conformance)."""
+    from mcrt_tpu.accel.two_level import (
+        intersect_two_level_loop, occluded_two_level_loop,
+    )
+
+    source, accel = _grid_setup()
+    assert accel.num_instances == 100
+    rays = _random_rays(1024, seed=7)
+    # spread rays across the grid extent
+    rays = rays.replace(o=rays.o * jnp.asarray([3.0, 1.0, 3.0]) +
+                        jnp.asarray([5.0, 0.0, 5.0]))
+    h_new = jax.jit(lambda r: intersect_two_level(source, accel, r))(rays)
+    h_ref = jax.jit(lambda r: intersect_two_level_loop(source, accel, r))(rays)
+    assert bool((h_new.valid == h_ref.valid).all())
+    m = np.asarray(h_new.valid)
+    np.testing.assert_allclose(np.asarray(h_new.t)[m],
+                               np.asarray(h_ref.t)[m], rtol=1e-5, atol=1e-5)
+    b_new = jax.jit(lambda r: occluded_two_level(source, accel, r))(rays)
+    b_ref = jax.jit(lambda r: occluded_two_level_loop(source, accel, r))(rays)
+    assert bool((b_new == b_ref).all())
+
+
+def test_pair_cull_scales_with_instances_entered():
+    """Localized rays must visit only nearby (instance, block) pairs —
+    the whole point of the pair-level cull (cost ∝ pairs ENTERED)."""
+    from mcrt_tpu.accel.pallas_blocked import (
+        _coherence_order, _pack_table, _ray_table, _visit_lists,
+    )
+
+    source, accel = _grid_setup()
+    # rays confined to one corner instance's neighborhood, pointing down
+    rng = np.random.RandomState(5)
+    n = 512
+    o = rng.uniform(-0.5, 0.5, (n, 3)).astype(np.float32) + (0.0, 2.0, 0.0)
+    d = np.tile(np.asarray([[0.0, -1.0, 0.0]], np.float32), (n, 1))
+    rays = Rays.make(jnp.asarray(o), jnp.asarray(d))
+    table = _ray_table(rays)
+    order = _coherence_order(rays, accel.bounds)
+    packed = _pack_table(jnp.take(table, order, axis=0))
+    counts, _, _ = _visit_lists(packed, accel.pair_chunk, accel.pair_aabb,
+                                True)
+    mean_visits = float(np.asarray(counts).mean())
+    # each ray column can enter at most the ~2 instances under it; with
+    # ~2 blocks per instance the per-tile visit count must be tiny
+    # compared to the total pair count
+    assert mean_visits < accel.num_pairs * 0.05, (
+        f"mean visits {mean_visits} vs {accel.num_pairs} pairs")
