@@ -392,12 +392,14 @@ def main():
     from mcrt_tpu.scene import builders
 
     accel = AccelType(os.environ.get("BENCH_ACCEL", "auto"))
+    fuse = os.environ.get("BENCH_FUSE", "0") == "1"
     scene, camera = getattr(builders, scene_name)()
 
     cfg = RenderConfig(
         width=width, height=height, spp=spp_per_call, accel=accel,
         sampler=SamplerConfig(type=SamplerType.SOBOL),
-        integrator=IntegratorConfig(max_depth=depth),
+        integrator=IntegratorConfig(max_depth=depth,
+                                    fuse_shadow_rays=fuse),
     )
     intersector = build_intersector(scene, cfg)
 

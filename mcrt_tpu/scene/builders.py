@@ -511,3 +511,104 @@ def textured_hall(with_uvs_scale: float = 4.0):
     camera = PinholeCamera.look_at(
         eye=(0.0, 1.8, 6.5), target=(0.0, 1.0, -2.0), fov_deg=55.0, aspect=1.0)
     return scene, camera
+
+
+def heavy_gallery(grid: int = 6, bunny_path: str | None = None):
+    """Heavy integration scene (VERDICT r3 item 8): a grid of OBJ-loaded
+    bunnies (~180k triangles at grid=6) with diffuse / glossy / mirror /
+    glass uber materials, a checker-textured + normal-mapped floor, and
+    ALL FOUR light types (point, directional, disk, triangle-mesh emitter)
+    — the conformance-suite-style composite that exercises accel + texture
+    + material + light integration at scale in one golden
+    (``radeon_rays_conformance_test_cl.h:181-430`` spirit)."""
+    from .objloader import load_obj
+    from .scene import (
+        LIGHT_DIRECTIONAL, LIGHT_DISK, LIGHT_MESH, LIGHT_POINT,
+        N_TEX_SLOTS, TEX_DIFFUSE, TEX_NORMAL,
+    )
+    from .textures import AtlasBuilder
+
+    if bunny_path is None:
+        bunny_path = "/root/reference/assets/meshes/bunny.obj"
+    mesh = load_obj(bunny_path)
+    pos = mesh.positions
+    lo, hi = pos.min(0), pos.max(0)
+    scale = 1.0 / max(hi - lo)
+    pos = (pos - (lo + hi) / 2) * scale
+    pos[:, 1] -= pos[:, 1].min()
+
+    atlas_b = AtlasBuilder()
+    tid_check = atlas_b.add(_checkerboard())
+    tid_nm = atlas_b.add(_ridge_normal_map())
+    tex_floor = np.full((N_TEX_SLOTS,), -1, np.int32)
+    tex_floor[TEX_DIFFUSE] = tid_check
+    tex_floor[TEX_NORMAL] = tid_nm
+
+    mats = [
+        UberMaterial(diffuse=(1.0, 1.0, 1.0), glossy=(0.1, 0.1, 0.1),
+                     roughness=0.3, tex=tex_floor),  # 0: textured floor
+        UberMaterial(diffuse=(0.0, 0.0, 0.0),
+                     kr=(0.95, 0.95, 0.95)),  # 1: mirror
+        UberMaterial(diffuse=(0.0, 0.0, 0.0), kr=(1.0, 1.0, 1.0),
+                     kt=(1.0, 1.0, 1.0), ior=1.5),  # 2: glass
+        UberMaterial(diffuse=(0.0, 0.0, 0.0)),  # 3: emissive quad carrier
+    ]
+
+    sb = SceneBuffers()
+    rng = np.random.RandomState(11)
+    for gx in range(grid):
+        for gz in range(grid):
+            kind = (gx * grid + gz) % 4
+            if kind == 1:
+                mid = 1  # mirror
+            elif kind == 2:
+                mid = 2  # glass
+            else:
+                mid = len(mats)
+                mats.append(UberMaterial(
+                    diffuse=tuple(rng.uniform(0.2, 0.8, 3)),
+                    glossy=(0.25, 0.25, 0.25),
+                    roughness=float(rng.uniform(0.08, 0.6)),
+                ))
+            off = np.asarray(
+                [(gx - (grid - 1) / 2) * 1.4, 0.0,
+                 (gz - (grid - 1) / 2) * 1.4], np.float32)
+            sb.add_mesh(pos + off, mesh.indices, mid,
+                        normals=mesh.normals, uvs=mesh.uvs)
+
+    ext = grid * 0.9
+    floor_m = 0
+    fp, fi = quad([-ext, 0, ext], [ext, 0, ext], [ext, 0, -ext],
+                  [-ext, 0, -ext])
+    fuv = np.asarray([[0, 0], [6, 0], [6, 6], [0, 6]], np.float32)
+    sb.add_mesh(fp, fi, floor_m, uvs=fuv)
+    # emissive ceiling quad (mesh area light)
+    lp, li = quad([-0.8, ext * 0.9, 0.8], [0.8, ext * 0.9, 0.8],
+                  [0.8, ext * 0.9, -0.8], [-0.8, ext * 0.9, -0.8])
+    lamp_sid = sb.add_mesh(lp, li, 3, light_id=0)
+
+    (positions, normals, uvs_a, indices, face_shape, shape_mat,
+     shape_light) = sb.concat()
+    lights = make_lights(
+        [
+            {"type": LIGHT_MESH, "intensity": (10.0, 9.5, 9.0),
+             "shape": lamp_sid},
+            {"type": LIGHT_POINT, "position": (ext * 0.5, ext * 0.6, ext * 0.5),
+             "intensity": (12.0, 11.0, 10.0)},
+            {"type": LIGHT_DISK, "position": (-ext * 0.5, ext * 0.8, 0.0),
+             "direction": (0.3, -1.0, 0.0), "intensity": (14.0, 13.0, 11.0),
+             "radius": ext * 0.2},
+            {"type": LIGHT_DIRECTIONAL, "direction": (-0.35, -1.0, -0.25),
+             "intensity": (1.5, 1.5, 1.4)},
+        ],
+        positions, indices, face_shape,
+    )
+    scene = build_scene(
+        positions, normals, uvs_a, indices, face_shape, shape_mat, mats,
+        lights=lights, shape_light=shape_light, textures=atlas_b.build(),
+    )
+    camera = PinholeCamera.look_at(
+        eye=(0.0, ext * 0.65, ext * 1.25), target=(0.0, 0.35, 0.0),
+        fov_deg=52.0, aspect=1.0,
+    )
+    return scene, camera

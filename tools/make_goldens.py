@@ -63,6 +63,16 @@ def main():
     path = os.path.join(GOLDEN_DIR, "CornellBox-Original-bdpt.npz")
     np.savez_compressed(path, image=img.astype(np.float16))
     print(f"CornellBox-Original-bdpt: mean {img.mean():.4f} -> {path}")
+    # heavy composite golden (tests/test_heavy_golden.py): rendered with
+    # the SAH builder; the SBVH test must match the same image
+    import tests.test_heavy_golden as hg
+    from mcrt_tpu.config import BuilderType
+
+    if os.path.exists(hg.BUNNY):
+        img = hg._render(BuilderType.SAH)
+        path = os.path.join(GOLDEN_DIR, "heavy_gallery.npz")
+        np.savez_compressed(path, image=img.astype(np.float16))
+        print(f"heavy_gallery: mean {img.mean():.4f} -> {path}")
 
 
 if __name__ == "__main__":

@@ -23,7 +23,7 @@ def timed(fn, *a, n=5):
 f_argsort = jax.jit(lambda k: jnp.argsort(k))
 print(f"argsort u32          : {timed(f_argsort, key)*1e3:7.2f} ms")
 
-f_single = jax.jit(lambda k: jnp.sort((k & jnp.uint32(~0x3FFFF))
+f_single = jax.jit(lambda k: jnp.sort((k & jnp.uint32(0xFFFC0000))
                                       | jnp.arange(N, dtype=jnp.uint32))
                    & jnp.uint32(0x3FFFF))
 print(f"single-key u32 sort  : {timed(f_single, key)*1e3:7.2f} ms")
