@@ -127,6 +127,56 @@ def build_two_level(source: Geometry, to_world: np.ndarray,
     )
 
 
+def refit_two_level(accel: TwoLevelAccel,
+                    to_world: jax.Array) -> TwoLevelAccel:
+    """In-jit instance-transform refit: recompute world→object matrices and
+    pair AABBs from new (I, 4, 4) transforms while keeping the BLAS and the
+    pair decomposition — the ``Shape::SetTransform`` + ``Commit`` path for
+    instanced dynamic scenes (``RTScene.cpp:327-359``).  Fully jittable, so
+    an animation step fuses transform + refit + render."""
+    tw = jnp.asarray(to_world, jnp.float32)
+    w2o = jnp.linalg.inv(tw)
+    # object-space block corners are static; re-transform per instance
+    code = accel.pair_code
+    ppad = code.shape[0]
+    valid = jnp.arange(ppad) < accel.num_pairs
+    b = code >> INST_BITS
+    inst = code & (MAX_INSTANCES - 1)
+    ob = jnp.take(accel.blas.aabb, b, axis=0)  # (P, 8) object boxes
+    lo, hi = ob[:, 0:3], ob[:, 3:6]
+    m = jnp.take(tw, inst, axis=0)  # (P, 4, 4)
+    corners = jnp.stack([
+        jnp.where(jnp.asarray(msk, bool)[None, :], hi, lo)
+        for msk in np.ndindex(2, 2, 2)
+    ], axis=1)  # (P, 8, 3)
+    wc = jnp.einsum("pab,pcb->pca", m[:, :3, :3], corners) \
+        + m[:, None, :3, 3]
+    plo = wc.min(axis=1)
+    phi = wc.max(axis=1)
+    nan = jnp.float32(jnp.nan)
+    pair_aabb = jnp.concatenate([
+        jnp.where(valid[:, None], plo, nan),
+        jnp.where(valid[:, None], phi, nan),
+        jnp.zeros((ppad, 2), jnp.float32),
+    ], axis=1)
+    nch = ppad // 128
+    ch = pair_aabb.reshape(nch, 128, 8)
+    chunk = jnp.concatenate([
+        jnp.nanmin(ch[:, :, 0:3], axis=1),
+        jnp.nanmax(ch[:, :, 3:6], axis=1),
+        jnp.zeros((nch, 2), jnp.float32),
+    ], axis=1)
+    vlo = jnp.min(jnp.where(valid[:, None], plo, BIG), axis=0)
+    vhi = jnp.max(jnp.where(valid[:, None], phi, -BIG), axis=0)
+    return accel.replace(
+        world_to_object=w2o,
+        w2o_rows=w2o[:, :3, :4].reshape(-1),
+        pair_aabb=pair_aabb,
+        pair_chunk=chunk,
+        bounds=jnp.stack([vlo, vhi]),
+    )
+
+
 def _transform_rays(rays: Rays, m: jax.Array) -> Rays:
     """Affine ray transform into object space.  Directions are NOT
     normalized, so the object-space t equals the world-space t."""
