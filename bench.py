@@ -431,7 +431,8 @@ def main():
     log(f"breakdown: {ms_per_spp:.1f} ms/spp at {width}x{height}, "
         f"{depth} bounces ({scene_name}, sobol)")
     # ~40 VPU flops per ray-triangle MT test; the dense-MT roofline measured
-    # on this chip is ~50 Gtests/s (tools/proto_v2.py); v5e peak 197 Tflop/s
+    # on this chip is ~50 Gtests/s (round-2 kernel prototypes); v5e peak
+    # 197 Tflop/s
     flops_per_ray = 40.0 * 128.0 * 30.0  # ~30 blocks/ray x 128 tests/block
     tflops = rays_per_sec * flops_per_ray / 1e12
     mfu_pct = tflops / 197.0 * 100.0
