@@ -55,8 +55,9 @@ def _load_scene(args):
         return builders.scene_from_obj(args.obj)
     maker = getattr(builders, args.scene, None)
     if maker is None:
-        sys.exit(f"unknown scene {args.scene!r}; "
-                 f"use cornell_box / bunny_field or --obj FILE")
+        sys.exit(f"unknown scene {args.scene!r}; use cornell_box / "
+                 f"bunny_field / textured_hall / glass_gallery / "
+                 f"heavy_gallery or --obj FILE")
     return maker()
 
 
@@ -147,7 +148,9 @@ def cmd_bench(args) -> int:
     env = dict(os.environ)
     if args.scene:
         env["BENCH_SCENE"] = args.scene
-    return subprocess.call([sys.executable, "bench.py"], env=env)
+    bench = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "bench.py")
+    return subprocess.call([sys.executable, bench], env=env)
 
 
 def main(argv=None) -> int:
