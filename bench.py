@@ -145,7 +145,14 @@ def measure_grad_overhead(scene, camera):
 def measure_bdpt(scene, camera):
     """BDPT ms/spp at 128x128 (VERDICT r2 item 6: BDPT in the bench).
     Diagnostic scale — BDPT's per-sample cost is O(maxDepth^2) connection
-    strategies (RTBDPTPass.cpp:442-488), so it runs small."""
+    strategies (RTBDPTPass.cpp:442-488), so it runs small.
+
+    Timing is per-iteration with a hard ``block_until_ready`` sync on EVERY
+    call (VERDICT r4 item 1a: the round-4 artifact carried a 17x-understated
+    figure from a run whose back-to-back dispatch loop did not see the real
+    device time; per-iteration sync cannot drift).  Every iteration's wall
+    time goes to stderr so the artifact is self-evidencing; the reported
+    figure is the median."""
     from mcrt_tpu.accel import build_intersector
     from mcrt_tpu.config import IntegratorConfig, IntegratorType, RenderConfig
     from mcrt_tpu.renderer import render_sample
@@ -158,14 +165,16 @@ def measure_bdpt(scene, camera):
     fn = jax.jit(lambda s, f: jnp.sum(
         render_sample(s, camera, f, cfg, intersector)[0]))
     f0 = jnp.asarray(0, jnp.int32)
-    float(fn(scene, f0))  # compile + sync
-    t0 = time.time()
+    jax.block_until_ready(fn(scene, f0))  # compile + sync
+    times = []
     for i in range(3):
-        v = fn(scene, f0 + i)
-    _ = float(v)
-    dt = (time.time() - t0) / 3
-    log(f"bdpt: {dt*1e3:.1f} ms/spp at 128x128, depth 3")
-    return dt * 1e3
+        t0 = time.perf_counter()
+        jax.block_until_ready(fn(scene, f0 + i))
+        times.append(time.perf_counter() - t0)
+    med = sorted(times)[len(times) // 2]
+    log(f"bdpt: {med*1e3:.1f} ms/spp at 128x128, depth 3 "
+        f"(per-iter ms: {', '.join(f'{t*1e3:.1f}' for t in times)})")
+    return med * 1e3
 
 
 _SCALING_SNIPPET = r"""
