@@ -55,10 +55,49 @@ def blocked_intersector(acc, sort: bool | None = None) -> Intersector:
     )
 
 
+def two_level_intersector(acc) -> Intersector:
+    """Bind pair-list two-level query closures (instanced scenes)."""
+    from .two_level import intersect_two_level, occluded_two_level
+
+    return Intersector(
+        intersect=lambda s, r: intersect_two_level(s.geometry, acc, r),
+        occluded=lambda s, r: occluded_two_level(s.geometry, acc, r),
+        accel=acc,
+    )
+
+
 def build_intersector(scene: Scene, cfg: RenderConfig) -> Intersector:
     """Build the accel for `scene` and bind query closures — the analogue of
     ``IntersectionApi::Commit`` (``radeon_rays.h:231-241``)."""
     accel_type = cfg.accel
+    if scene.instances is not None:
+        # instanced scenes REQUIRE the two-level engine: every other accel
+        # sees only the source meshes' object-space faces.  AUTO selects it
+        # from world content exactly like the reference's device preprocess
+        # (calc_intersection_device.cpp:73-150 picks the 2-level intersector
+        # when the world carries instances).
+        if accel_type not in (AccelType.AUTO, AccelType.TWO_LEVEL):
+            raise ValueError(
+                f"scene has instanced shapes; accel={accel_type.value!r} "
+                "cannot render them — use AccelType.AUTO or TWO_LEVEL")
+        from .two_level import build_two_level_scene
+
+        acc = build_two_level_scene(
+            scene.geometry, scene.shapes.to_world, scene.instances, cfg.bvh)
+        return two_level_intersector(acc)
+    if accel_type == AccelType.TWO_LEVEL:
+        # no instances: the whole scene is one free BLAS under an identity
+        # instance — valid, just not faster than BLOCKED
+        from ..scene.scene import Instances
+        import jax.numpy as jnp
+
+        from .two_level import build_two_level_scene
+
+        empty = Instances(shape=jnp.zeros((0,), jnp.int32),
+                          src_shape=jnp.zeros((0,), jnp.int32))
+        acc = build_two_level_scene(
+            scene.geometry, scene.shapes.to_world, empty, cfg.bvh)
+        return two_level_intersector(acc)
     if accel_type == AccelType.AUTO:
         # strategy selection (the reference picks intersectors from scene
         # shape at Preprocess, calc_intersection_device.cpp:73-150).  On

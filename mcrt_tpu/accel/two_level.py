@@ -127,6 +127,161 @@ def build_two_level(source: Geometry, to_world: np.ndarray,
     )
 
 
+def _pair_boxes(aabb: np.ndarray, block_ids: np.ndarray,
+                tw: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """World (lo, hi) of object-space block boxes under one transform."""
+    lo, hi = aabb[block_ids, 0:3], aabb[block_ids, 3:6]
+    corners = np.stack([
+        np.where(np.asarray(m)[None, :], hi, lo)
+        for m in np.ndindex(2, 2, 2)
+    ], axis=1)  # (B, 8, 3)
+    wc = np.einsum("ab,kcb->kca", tw[:3, :3], corners) + tw[:3, 3]
+    return wc.min(axis=1), wc.max(axis=1)
+
+
+def build_two_level_scene(geom: Geometry, shape_to_world, instances,
+                          cfg=None) -> TwoLevelAccel:
+    """Multi-BLAS two-level build from a production scene (VERDICT r4
+    item 3) — the full ``intersector_2level.cpp`` shape: several distinct
+    instanced meshes AND free (non-instanced) geometry coexist.
+
+    Layout: one blocked BLAS per instanced SOURCE mesh (its face range of
+    the global table) plus one BLAS for all free faces; the BLAS triangle
+    tables are CONCATENATED into one (16, NT) table, so a pair code's block
+    id implicitly identifies its BLAS — the pair-list kernels run unchanged.
+    Instances: one identity instance per BLAS (free geometry renders as-is;
+    each source renders at its authored pose) + one instance per
+    ``add_instanced`` shape.  Identity/free instances report shape -1 and
+    hits fall back to ``face_shape[prim]``; real instances report their
+    shape id (``RTShape`` contract, ``kernel_data.h:36-52``)."""
+    from ..scene.scene import Instances  # noqa: F401  (type reference)
+
+    tw_all = np.asarray(shape_to_world, np.float32)  # (S, 4, 4)
+    inst_shape_np = np.asarray(instances.shape, np.int32)
+    ranges = list(zip(instances.face_lo, instances.face_hi))
+    n_faces = int(geom.indices.shape[0])
+    face_valid = np.asarray(geom.face_valid)
+
+    # group instances by source face range
+    by_src: dict[tuple[int, int], list[int]] = {}
+    for k, r in enumerate(ranges):
+        by_src.setdefault(r, []).append(k)
+
+    src_mask = np.zeros((n_faces,), bool)
+    for lo, hi in by_src:
+        src_mask[lo:hi] = True
+    free_mask = face_valid & ~src_mask
+
+    # build each BLAS on a face_valid-masked view of the FULL geometry, so
+    # slot_prim stays a global primitive id
+    blas_list = []
+    if free_mask.any():
+        blas_list.append(("free", build_blocked(
+            geom.replace(face_valid=jnp.asarray(free_mask)), cfg)))
+    src_blas: dict[tuple[int, int], int] = {}
+    for r in by_src:
+        mask = np.zeros((n_faces,), bool)
+        mask[r[0]:r[1]] = True
+        mask &= face_valid
+        src_blas[r] = len(blas_list)
+        blas_list.append((r, build_blocked(
+            geom.replace(face_valid=jnp.asarray(mask)), cfg)))
+
+    # concatenate the BLAS tables; block offsets identify the BLAS
+    tris, slots, aabbs, offsets = [], [], [], []
+    off = 0
+    for _, b in blas_list:
+        offsets.append(off)
+        tris.append(np.asarray(b.tri))
+        slots.append(np.asarray(b.slot_prim))
+        aabbs.append(np.asarray(b.aabb)[:b.num_blocks])
+        off += b.num_blocks
+    tri = np.concatenate(tris, axis=1)
+    slot_prim = np.concatenate(slots)
+    nb_tot = off
+    nbpad = max(128, -(-nb_tot // 128) * 128)
+    aabb = np.full((nbpad, 8), np.nan, np.float32)
+    aabb[:, 6:8] = 0.0
+    aabb[:nb_tot] = np.concatenate(aabbs, axis=0)
+
+    # instance table: identity per BLAS (shape -1), then real instances
+    ident = np.eye(4, dtype=np.float32)
+    inst_tw: list[np.ndarray] = [ident] * len(blas_list)
+    inst_sid: list[int] = [-1] * len(blas_list)
+    inst_blas: list[int] = list(range(len(blas_list)))
+    for k, r in enumerate(ranges):
+        inst_tw.append(tw_all[int(inst_shape_np[k])])
+        inst_sid.append(int(inst_shape_np[k]))
+        inst_blas.append(src_blas[r])
+    n_inst = len(inst_tw)
+    if n_inst > MAX_INSTANCES:
+        raise ValueError(f"two-level supports <= {MAX_INSTANCES} instances")
+    tw_inst = np.stack(inst_tw)
+    w2o = np.linalg.inv(tw_inst).astype(np.float32)
+
+    # pairs: every instance x the REAL blocks of its BLAS
+    plos, phis, codes = [], [], []
+    for i in range(n_inst):
+        b = blas_list[inst_blas[i]][1]
+        ba = np.asarray(b.aabb)[:b.num_blocks]
+        real = np.nonzero(~np.isnan(ba[:, 0]))[0]
+        gids = real + offsets[inst_blas[i]]
+        lo, hi = _pair_boxes(aabb, gids, tw_inst[i])
+        plos.append(lo)
+        phis.append(hi)
+        codes.append((gids.astype(np.int64) << INST_BITS) | i)
+    plo = np.concatenate(plos)
+    phi = np.concatenate(phis)
+    code = np.concatenate(codes)
+
+    p = plo.shape[0]
+    ppad = max(128, -(-p // 128) * 128)
+    pair_aabb = np.full((ppad, 8), np.nan, np.float32)
+    pair_aabb[:, 6:8] = 0.0
+    pair_aabb[:p, 0:3] = plo
+    pair_aabb[:p, 3:6] = phi
+    pair_code = np.zeros((ppad,), np.int32)
+    pair_code[:p] = code.astype(np.int32)
+
+    from .pallas_blocked import _chunk_bounds
+
+    merged = BlockedAccel(
+        tri=jnp.asarray(tri),
+        aabb=jnp.asarray(aabb),
+        slot_prim=jnp.asarray(slot_prim),
+        bounds=jnp.asarray(np.stack([plo.min(0), phi.max(0)])),
+        chunk_aabb=jnp.asarray(_chunk_bounds(aabb)),
+        num_blocks=nb_tot,
+    )
+    return TwoLevelAccel(
+        blas=merged,
+        world_to_object=jnp.asarray(w2o),
+        w2o_rows=jnp.asarray(w2o[:, :3, :4].reshape(-1)),
+        shape_id=jnp.asarray(np.asarray(inst_sid, np.int32)),
+        pair_aabb=jnp.asarray(pair_aabb),
+        pair_chunk=jnp.asarray(_chunk_bounds(pair_aabb)),
+        pair_code=jnp.asarray(pair_code),
+        bounds=jnp.asarray(np.stack([plo.min(0), phi.max(0)]).astype(np.float32)),
+        num_instances=n_inst,
+        num_pairs=p,
+    )
+
+
+def refit_two_level_scene(accel: TwoLevelAccel, scene) -> TwoLevelAccel:
+    """In-jit refit for instance-transform edits on a production scene:
+    gathers each instance's live transform from ``scene.shapes.to_world``
+    (identity instances stay fixed) and recomputes the pair boxes."""
+    ident = jnp.eye(4, dtype=jnp.float32)
+    sid = accel.shape_id  # (I,)
+    tw = jnp.where(
+        (sid >= 0)[:, None, None],
+        jnp.take(scene.shapes.to_world, jnp.maximum(sid, 0), axis=0,
+                 mode="clip"),
+        ident[None],
+    )
+    return refit_two_level(accel, tw)
+
+
 def refit_two_level(accel: TwoLevelAccel,
                     to_world: jax.Array) -> TwoLevelAccel:
     """In-jit instance-transform refit: recompute world→object matrices and
@@ -491,10 +646,14 @@ def intersect_two_level(source: Geometry, accel: TwoLevelAccel,
         found,
         jnp.take(accel.blas.slot_prim, jnp.maximum(slot, 0), axis=0), -1)
     valid = found & rays.active
-    shape = jnp.where(
-        valid,
-        jnp.take(accel.shape_id, jnp.maximum(inst, 0), axis=0, mode="clip"),
-        -1)
+    inst_shape = jnp.take(accel.shape_id, jnp.maximum(inst, 0), axis=0,
+                          mode="clip")
+    # identity/free instances report -1: resolve through the face table
+    # like the flat path (multi-BLAS scenes mix both)
+    face_sh = jnp.take(source.face_shape, jnp.maximum(prim, 0), axis=0,
+                       mode="clip")
+    shape = jnp.where(valid, jnp.where(inst_shape >= 0, inst_shape, face_sh),
+                      -1)
     return Hit(
         t=jnp.where(valid, t, F32_MAX),
         prim=prim.astype(jnp.int32),
@@ -551,7 +710,7 @@ def intersect_two_level_loop(source: Geometry, accel: TwoLevelAccel,
         r_obj = r_obj.replace(tmax=jnp.minimum(r_obj.tmax, best.t))
         h = intersect_blocked(source, accel.blas, r_obj)
         better = h.valid & (h.t < best.t)
-        sid = accel.shape_id[i]
+        sid = jnp.where(accel.shape_id[i] >= 0, accel.shape_id[i], h.shape)
         return Hit(
             t=jnp.where(better, h.t, best.t),
             prim=jnp.where(better, h.prim, best.prim),

@@ -111,7 +111,8 @@ def cmd_view(args) -> int:
     cfg = _load_config(args)
     scene, camera = _load_scene(args)
     r = Renderer(scene, camera, cfg)
-    v = ProgressiveViewer(r, host=args.host, port=args.port)
+    v = ProgressiveViewer(r, host=args.host, port=args.port,
+                          scene_name=("custom" if args.obj else args.scene))
     print(f"serving http://{args.host}:{v.port}/ "
           f"({cfg.width}x{cfg.height}, progressive)", flush=True)
     try:

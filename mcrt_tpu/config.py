@@ -49,6 +49,7 @@ class AccelType(str, enum.Enum):
     BRUTE = "brute"  # O(N) all-triangles oracle (conformance reference)
     LBVH = "lbvh"  # device-built Morton LBVH, JAX traversal
     BLOCKED = "blocked"  # Pallas blocked-dense kernel (TPU-native default)
+    TWO_LEVEL = "two_level"  # instanced: shared BLASes + pair-list kernels
     AUTO = "auto"  # pick per scene size (Commit-time strategy selection)
 
 

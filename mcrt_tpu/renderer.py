@@ -150,11 +150,41 @@ class Renderer:
         self.intersector = build_intersector(scene, cfg)
         self.accum = Accumulator.zeros(cfg.width, cfg.height)
         self._render_start = None
-        self._frame_fn = jax.jit(
-            functools.partial(
-                render_frame_fn, cfg=cfg, intersector=self.intersector
+        self._refit_fn = None  # jit(refit_blocked)
+        self._refit2_fn = None  # jit(refit_two_level_scene)
+        self._make_frame_fn()
+
+    def _make_frame_fn(self):
+        """(Re)bind the compiled frame function.  For the blocked and
+        two-level accels the accel pytree is a jit ARGUMENT, not a captured
+        constant — so a refit-edit (same topology, new geometry/transforms)
+        reuses the compiled program with the refitted accel instead of
+        recompiling."""
+        from .accel import blocked_intersector, two_level_intersector
+        from .accel.pallas_blocked import BlockedAccel
+        from .accel.two_level import TwoLevelAccel
+
+        cfg = self.cfg
+        acc = self.intersector.accel
+        if isinstance(acc, (BlockedAccel, TwoLevelAccel)):
+            bind = (blocked_intersector if isinstance(acc, BlockedAccel)
+                    else two_level_intersector)
+
+            def fn(scene, camera, accum, frame, accel):
+                return render_frame_fn(
+                    scene, camera, accum, frame, cfg=cfg,
+                    intersector=bind(accel),
+                )
+
+            self._frame_fn = jax.jit(fn)
+            self._accel_arg = True
+        else:
+            self._frame_fn = jax.jit(
+                functools.partial(
+                    render_frame_fn, cfg=cfg, intersector=self.intersector
+                )
             )
-        )
+            self._accel_arg = False
 
     def reset(self):
         """Accumulation reset on camera move / scene edit
@@ -165,17 +195,44 @@ class Renderer:
     def update_scene(self, scene: Scene, rebuild_accel: bool = True):
         """Swap in an edited scene — the ``RTScene::updateDynamicEntities`` →
         ``Commit`` → notify-integrators path (``RTScene.cpp:317-391``,
-        SURVEY §3.4): optionally rebuild the accel and reset accumulation.
-        Material-only edits (same geometry) can pass ``rebuild_accel=False``;
-        the frame function is retraced only if the accel pytree changed."""
+        SURVEY §3.4): rebuild or refit the accel and reset accumulation.
+
+        Transform-only edits take the in-jit ``refit_blocked`` path instead
+        of a host rebuild — the reference's refit-via-``Commit`` from the
+        same scene-update entry point (``RTScene.cpp:317-391``).  Topology
+        sameness is detected structurally: an edit produced by
+        ``scene.replace`` / ``SceneAnimator.transformed`` shares the
+        ``indices``/``face_valid`` leaves with the current scene, which is
+        exactly the "moved vertices, same faces" contract refit requires.
+        Material-only edits (same geometry) can pass
+        ``rebuild_accel=False``."""
+        from .accel import blocked_intersector, two_level_intersector
+        from .accel.pallas_blocked import BlockedAccel, refit_blocked
+        from .accel.two_level import TwoLevelAccel, refit_two_level_scene
+
+        old = self.scene
         self.scene = scene
         if rebuild_accel:
-            self.intersector = build_intersector(scene, self.cfg)
-            self._frame_fn = jax.jit(
-                functools.partial(
-                    render_frame_fn, cfg=self.cfg, intersector=self.intersector
-                )
+            acc = self.intersector.accel
+            same_faces = (
+                scene.geometry.indices is old.geometry.indices
+                and scene.geometry.face_valid is old.geometry.face_valid
             )
+            if isinstance(acc, BlockedAccel) and same_faces:
+                if self._refit_fn is None:
+                    self._refit_fn = jax.jit(refit_blocked)
+                self.intersector = blocked_intersector(
+                    self._refit_fn(acc, scene.geometry))
+            elif (isinstance(acc, TwoLevelAccel) and same_faces
+                  and scene.geometry.positions is old.geometry.positions):
+                # instance-transform-only edit: recompute pair boxes in-jit
+                if self._refit2_fn is None:
+                    self._refit2_fn = jax.jit(refit_two_level_scene)
+                self.intersector = two_level_intersector(
+                    self._refit2_fn(acc, scene))
+            else:
+                self.intersector = build_intersector(scene, self.cfg)
+                self._make_frame_fn()
         self.reset()
 
     def update_camera(self, camera: PinholeCamera):
@@ -188,9 +245,15 @@ class Renderer:
         for _ in range(n_frames):
             if self.stopped():
                 break
-            self.accum = self._frame_fn(
-                self.scene, self.camera, self.accum, self.accum.frame
-            )
+            if self._accel_arg:
+                self.accum = self._frame_fn(
+                    self.scene, self.camera, self.accum, self.accum.frame,
+                    self.intersector.accel,
+                )
+            else:
+                self.accum = self._frame_fn(
+                    self.scene, self.camera, self.accum, self.accum.frame
+                )
         return self.accum
 
     def stopped(self) -> bool:

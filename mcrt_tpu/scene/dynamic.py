@@ -112,7 +112,7 @@ class SceneAnimator(struct.PyTreeNode):
         lights = _refresh_mesh_lights(self.base.lights, p, new_geom.indices)
         return self.base.replace(
             geometry=new_geom,
-            shapes=self.base.shapes.replace(to_world=m),
+            shapes=self.base.shapes.replace(to_world=m, normal_mat=nmat),
             lights=lights,
             center=center,
             radius=radius,
@@ -129,6 +129,22 @@ class SceneAnimator(struct.PyTreeNode):
         t = self.identity_transforms() if transforms is None else np.array(transforms)
         t[shape_idx] = np.asarray(matrix, np.float32)
         return self.transformed(jnp.asarray(t))
+
+
+def set_shape_transform(scene: Scene, shape_id: int, matrix) -> Scene:
+    """Pure transform edit for an INSTANCED shape: updates
+    ``shapes.to_world`` (and its normal matrix) without touching geometry —
+    the ``Shape::SetTransform`` analogue for no-bake instances
+    (``radeon_rays.h:231-241``); pair ``Renderer.update_scene`` then takes
+    the in-jit two-level refit.  For baked shapes use
+    :class:`SceneAnimator` (vertices must actually move)."""
+    m = jnp.asarray(matrix, jnp.float32)
+    nm = jnp.swapaxes(jnp.linalg.inv(m[:3, :3]), -1, -2)
+    shapes = scene.shapes
+    return scene.replace(shapes=shapes.replace(
+        to_world=shapes.to_world.at[shape_id].set(m),
+        normal_mat=shapes.normal_mat.at[shape_id].set(nm),
+    ))
 
 
 def make_animated_frame(animator: SceneAnimator, camera, cfg,

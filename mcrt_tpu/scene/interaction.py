@@ -104,6 +104,27 @@ def compute_interaction(scene: Scene, rays: Rays, hit: Hit,
     prim = jnp.maximum(hit.prim, 0)
     p3, n3, uv3, mat, light = _face_attributes(scene, prim)
 
+    if scene.geometry.instanced:
+        # instanced scene: face attributes are source-mesh (object) space;
+        # apply the hit SHAPE's transform at fetch — the reference's
+        # RTShape-transform vertex fetch (``geometry.cl:30-90``; instances
+        # from ``RTScene::attachMesh``, ``RTScene.cpp:564-678``).  Material
+        # and light ids come from the per-shape tables (the two-level query
+        # reports the instance's shape id).
+        shape = jnp.maximum(hit.shape, 0)
+        tw = jnp.take(scene.shapes.to_world, shape, axis=0, mode="clip")
+        nm = jnp.take(scene.shapes.normal_mat, shape, axis=0, mode="clip")
+        rot = tw[..., :3, :3]
+        trans = tw[..., :3, 3]
+        p3 = [jnp.einsum("...ij,...j->...i", rot, p) + trans for p in p3]
+        n3 = [jnp.einsum("...ij,...j->...i", nm, v) for v in n3]
+        ok = hit.shape >= 0
+        mat = jnp.where(
+            ok, jnp.take(scene.shapes.material, shape, axis=0, mode="clip"),
+            -1)
+        light = jnp.where(
+            ok, jnp.take(scene.shapes.light, shape, axis=0, mode="clip"), -1)
+
     b1 = hit.u[..., None]
     b2 = hit.v[..., None]
     b0 = 1.0 - b1 - b2

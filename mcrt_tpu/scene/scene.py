@@ -61,6 +61,11 @@ class Geometry(struct.PyTreeNode):
     face_shape: jax.Array  # (F,) i32 shape id per face
     face_valid: jax.Array  # (F,) bool (False on padding faces)
     face_attrs: jax.Array  # (F, 32) f32 packed shading attributes (FA_* cols)
+    # static: scene carries instanced shapes -> shading transforms face
+    # attributes by the hit shape's to_world (``RTShape`` transform applied
+    # at vertex fetch, ``geometry.cl:30-90``); False compiles the transform
+    # away entirely
+    instanced: bool = struct.field(pytree_node=False, default=False)
 
     @property
     def num_faces(self) -> int:
@@ -114,7 +119,26 @@ class Shapes(struct.PyTreeNode):
 
     material: jax.Array  # (S,) i32
     light: jax.Array  # (S,) i32 area light id, -1 if none
-    to_world: jax.Array  # (S, 4, 4) f32 (identity once geometry is baked)
+    to_world: jax.Array  # (S, 4, 4) f32 (identity for baked shapes;
+    #   instanced shapes carry their live transform, RTShape-style)
+    normal_mat: jax.Array  # (S, 3, 3) f32 inverse-transpose of to_world[:3,:3]
+
+
+class Instances(struct.PyTreeNode):
+    """Instanced-shape registry (``IntersectionApi::CreateInstance``
+    analogue, ``radeon_rays.h:223-227``): each instance is a SHAPE whose
+    geometry is the face range of a source mesh held once in the global
+    face table, positioned by ``shapes.to_world[shape]``.  Face ranges are
+    static (build-time) metadata for the two-level accel builder."""
+
+    shape: jax.Array  # (I,) i32 shape id of each instance
+    src_shape: jax.Array  # (I,) i32 source shape id
+    face_lo: tuple = struct.field(pytree_node=False, default=())  # per-inst
+    face_hi: tuple = struct.field(pytree_node=False, default=())
+
+    @property
+    def num(self) -> int:
+        return len(self.face_lo)
 
 
 class Materials(struct.PyTreeNode):
@@ -292,6 +316,11 @@ class Scene(struct.PyTreeNode):
     # BDPT light-path pdfs, cf. sampleLightLi directional case lights.cl:45-146)
     center: jax.Array  # (3,)
     radius: jax.Array  # ()
+    # instanced-shape registry (None for fully-baked scenes); presence
+    # routes AccelType.AUTO to the two-level intersector, like the
+    # reference auto-selecting from world content
+    # (calc_intersection_device.cpp:73-150)
+    instances: Instances | None = None
 
 
 def _pad_faces(indices: np.ndarray, face_shape: np.ndarray, multiple: int = 128):
@@ -317,8 +346,12 @@ def build_scene(
     shape_light: np.ndarray | None = None,
     textures: TextureAtlas | None = None,
     pad_multiple: int = 128,
+    shape_to_world: np.ndarray | None = None,
+    instances: Instances | None = None,
 ) -> Scene:
-    """Assemble a Scene from host numpy arrays (world-space geometry)."""
+    """Assemble a Scene from host numpy arrays (world-space geometry for
+    baked shapes; instanced shapes reference a source mesh's face range and
+    position it via ``shape_to_world`` — pass the ``Instances`` registry)."""
     indices = np.asarray(indices, np.int32).reshape(-1, 3)
     face_shape = np.asarray(face_shape, np.int32)
     indices_p, face_shape_p, valid = _pad_faces(indices, face_shape, pad_multiple)
@@ -329,6 +362,16 @@ def build_scene(
 
     pos = np.asarray(positions, np.float32).reshape(-1, 3)
     lo, hi = pos.min(0), pos.max(0)
+    if instances is not None and shape_to_world is not None:
+        # scene bounds must cover instanced copies, not just the sources
+        tw = np.asarray(shape_to_world, np.float32)
+        for k in range(instances.num):
+            flo, fhi = instances.face_lo[k], instances.face_hi[k]
+            vids = np.unique(np.asarray(indices)[flo:fhi])
+            m = tw[int(np.asarray(instances.shape)[k])]
+            p = pos[vids] @ m[:3, :3].T + m[:3, 3]
+            lo = np.minimum(lo, p.min(0))
+            hi = np.maximum(hi, p.max(0))
     center = (lo + hi) * 0.5
     radius = float(np.linalg.norm(hi - center) + 1e-6)
 
@@ -340,6 +383,16 @@ def build_scene(
     fvalid_j = jnp.asarray(valid)
     smat_j = jnp.asarray(np.asarray(shape_material, np.int32))
     slight_j = jnp.asarray(np.asarray(shape_light, np.int32))
+    if shape_to_world is None:
+        tw_j = jnp.tile(jnp.eye(4, dtype=jnp.float32)[None],
+                        (num_shapes, 1, 1))
+        nm_j = jnp.tile(jnp.eye(3, dtype=jnp.float32)[None],
+                        (num_shapes, 1, 1))
+    else:
+        tw = np.asarray(shape_to_world, np.float32)
+        tw_j = jnp.asarray(tw)
+        nm_j = jnp.asarray(np.swapaxes(
+            np.linalg.inv(tw[:, :3, :3]), -1, -2).astype(np.float32))
     return Scene(
         geometry=Geometry(
             positions=pos_j,
@@ -351,17 +404,20 @@ def build_scene(
             face_attrs=pack_face_attrs(
                 pos_j, nrm_j, uvs_j, idx_j, fshape_j, fvalid_j, smat_j, slight_j
             ),
+            instanced=instances is not None,
         ),
         shapes=Shapes(
             material=smat_j,
             light=slight_j,
-            to_world=jnp.tile(jnp.eye(4, dtype=jnp.float32)[None], (num_shapes, 1, 1)),
+            to_world=tw_j,
+            normal_mat=nm_j,
         ),
         materials=Materials.stack(materials),
         lights=lights if lights is not None else Lights.empty(),
         textures=textures if textures is not None else TextureAtlas.empty(),
         center=jnp.asarray(center, jnp.float32),
         radius=jnp.asarray(radius, jnp.float32),
+        instances=instances,
     )
 
 

@@ -10,14 +10,24 @@ two interactive edit loops the reference's GUI drives —
   exposed as orbit/dolly controls around the scene center;
 - **material edit** -> scene re-upload + reset
   (``RTUberMaterialComponent`` dirty flag -> ``RTScene.cpp:370-390``),
-  exposed as per-material diffuse/roughness setters.
+  exposed as per-material diffuse/roughness setters;
+- **light edit** -> lights-table re-upload + reset (the GUI's light
+  editing, ``PathTracingGUI.cpp:106-118``; dynamic light updates
+  ``RTScene.cpp:356-391``), exposed as per-light intensity/position
+  setters;
+- **scene switch** -> full scene + accel rebuild at runtime (the GUI's
+  scene selector, ``PathTracingGUI.cpp:106-118`` /
+  ``PathTracingApp::loadScene``).
 
 Serves a single-page UI at ``/`` (auto-refreshing image + controls), the
-current tonemapped frame at ``/image.png``, and a JSON status line at
-``/api/status`` (spp + resolution — the GUI's spp/render-time readout,
-``PathTracingGUI.cpp:116-117``).  The render loop runs in the calling
-thread (``serve``); HTTP handlers only enqueue edits, which the loop
-applies between progressive steps — the single-jit-stream discipline.
+current tonemapped frame at ``/image.png``, a JSON status line at
+``/api/status`` (spp + resolution), and ``/api/stats`` — spp, render
+time, samples/s, and device/accel memory — the ``StatsWindow`` +
+spp/render-time/memory readout (``PathTracingGUI.cpp:110-117``,
+``engine/gui/StatsWindow.cpp:12-49``).  The render loop runs in the
+calling thread (``serve``); HTTP handlers only enqueue edits, which the
+loop applies between progressive steps — the single-jit-stream
+discipline.
 
 Usage: ``python -m mcrt_tpu view --scene cornell_box --port 8000``.
 """
@@ -56,14 +66,39 @@ button { margin:2px; } input { width: 56px; }
  roughness <input id="rough" value="">
  <button onclick="mat()">apply</button>
 </div>
+<div>
+ light <input id="lid" value="0"> intensity
+ <input id="lr" value=""> <input id="lg" value=""> <input id="lb" value="">
+ position <input id="lx" value=""> <input id="ly" value=""> <input id="lz" value="">
+ <button onclick="light()">apply</button>
+</div>
+<div>
+ scene <select id="scene"></select>
+ <button onclick="loadScene()">load</button>
+ <span id="stats"></span>
+</div>
 <script>
 async function tick() {
   const s = await (await fetch('/api/status')).json();
   document.getElementById('status').textContent =
     s.width + 'x' + s.height + '  spp=' + s.spp;
+  const st = await (await fetch('/api/stats')).json();
+  document.getElementById('stats').textContent =
+    ' ' + st.samples_per_sec.toFixed(2) + ' spp/s, ' +
+    st.render_time_s.toFixed(1) + 's, accel ' +
+    (st.accel_bytes/1e6).toFixed(1) + ' MB';
   document.getElementById('view').src = '/image.png?ts=' + Date.now();
 }
 setInterval(tick, 1000);
+async function scenes() {
+  const s = await (await fetch('/api/scenes')).json();
+  const sel = document.getElementById('scene');
+  for (const n of s.scenes) {
+    const o = document.createElement('option');
+    o.value = n; o.textContent = n; sel.appendChild(o);
+  }
+}
+scenes();
 function cam(yaw, pitch) {
   fetch('/api/camera?yaw=' + yaw + '&pitch=' + pitch);
 }
@@ -78,19 +113,37 @@ function mat() {
   });
   fetch('/api/material?' + q);
 }
+function light() {
+  const v = id => document.getElementById(id).value;
+  const q = new URLSearchParams({id: v('lid'), ir: v('lr'), ig: v('lg'),
+    ib: v('lb'), x: v('lx'), y: v('ly'), z: v('lz')});
+  fetch('/api/light?' + q);
+}
+function loadScene() {
+  fetch('/api/scene?name=' + document.getElementById('scene').value);
+}
 </script></body></html>
 """
+
+# demo scenes selectable at runtime (PathTracingApp's 5 scene descriptors,
+# PathTracingApp.cpp:348-407)
+SCENES = ("cornell_box", "glass_gallery", "textured_hall", "bunny_field",
+          "heavy_gallery")
 
 
 class ProgressiveViewer:
     """Owns a :class:`~mcrt_tpu.renderer.Renderer` and serves its
     accumulator over HTTP while stepping it progressively."""
 
-    def __init__(self, renderer, host: str = "127.0.0.1", port: int = 8000):
+    def __init__(self, renderer, host: str = "127.0.0.1", port: int = 8000,
+                 scene_name: str = "custom"):
         self.renderer = renderer
         self._edits: list = []
         self._edit_lock = threading.Lock()
         self._stop = threading.Event()
+        self._scene_name = scene_name
+        self._render_time = 0.0  # wall seconds spent rendering samples
+        self._rate = 0.0  # samples/sec (progressive throughput)
         # orbit state: pivot at the scene center (the editor's entity-frame
         # orbit), eye from the current camera
         self._pivot = np.asarray(renderer.scene.center, np.float32)
@@ -136,6 +189,29 @@ class ProgressiveViewer:
                 kw["roughness"] = float(q["roughness"])
             self.enqueue_material(int(q.get("id", 0)), **kw)
             self._send(req, 200, b"{}", "application/json")
+        elif url.path == "/api/light":
+            kw = {}
+            if all(q.get(k) for k in ("ir", "ig", "ib")):
+                kw["intensity"] = (
+                    float(q["ir"]), float(q["ig"]), float(q["ib"]))
+            if all(q.get(k) for k in ("x", "y", "z")):
+                kw["position"] = (float(q["x"]), float(q["y"]), float(q["z"]))
+            self.enqueue_light(int(q.get("id", 0)), **kw)
+            self._send(req, 200, b"{}", "application/json")
+        elif url.path == "/api/scenes":
+            self._send(req, 200, json.dumps({"scenes": list(SCENES)}).encode(),
+                       "application/json")
+        elif url.path == "/api/scene":
+            name = q.get("name", "")
+            if name not in SCENES:
+                self._send(req, 400, b'{"error": "unknown scene"}',
+                           "application/json")
+            else:
+                self.enqueue_scene(name)
+                self._send(req, 200, b"{}", "application/json")
+        elif url.path == "/api/stats":
+            self._send(req, 200, json.dumps(self.stats()).encode(),
+                       "application/json")
         else:
             self._send(req, 404, b"not found", "text/plain")
 
@@ -166,6 +242,25 @@ class ProgressiveViewer:
         return {"spp": int(r.accum.frame), "width": r.cfg.width,
                 "height": r.cfg.height}
 
+    def stats(self) -> dict:
+        """The StatsWindow / GUI memory readout (``PathTracingGUI.cpp:
+        110-117``, ``StatsWindow.cpp:12-49``): spp, wall render time,
+        progressive throughput, and device/accel memory."""
+        from .runtime.platform import _nbytes, device_memory_stats
+
+        r = self.renderer
+        dev = device_memory_stats()
+        return {
+            "spp": int(r.accum.frame),
+            "scene": self._scene_name,
+            "render_time_s": round(self._render_time, 3),
+            "samples_per_sec": round(self._rate, 4),
+            "accel_bytes": _nbytes(r.intersector.accel),
+            "scene_bytes": _nbytes(r.scene),
+            "device_bytes_in_use": int(dev.get("bytes_in_use", 0)),
+            "device_bytes_limit": int(dev.get("bytes_limit", 0)),
+        }
+
     # ---- edits (enqueued by HTTP threads, applied by the render loop) --
     def enqueue_orbit(self, yaw=0.0, pitch=0.0, dolly=1.0):
         with self._edit_lock:
@@ -175,7 +270,16 @@ class ProgressiveViewer:
         with self._edit_lock:
             self._edits.append(("material", (mat_id, kw)))
 
-    def _apply_edits(self):
+    def enqueue_light(self, light_id: int, **kw):
+        with self._edit_lock:
+            self._edits.append(("light", (light_id, kw)))
+
+    def enqueue_scene(self, name: str):
+        with self._edit_lock:
+            self._edits.append(("scene", name))
+
+    def _apply_edits(self) -> bool:
+        """Drain and apply queued edits; returns True if any were applied."""
         with self._edit_lock:
             edits, self._edits = self._edits, []
         for kind, payload in edits:
@@ -221,6 +325,35 @@ class ProgressiveViewer:
                 # material-only edit: no accel rebuild (RTScene.cpp:370-390)
                 self.renderer.update_scene(scene.replace(materials=mats),
                                            rebuild_accel=False)
+            elif kind == "light":
+                light_id, kw = payload
+                import jax.numpy as jnp
+
+                scene = self.renderer.scene
+                lights = scene.lights
+                if "intensity" in kw:
+                    lights = lights.replace(
+                        intensity=lights.intensity.at[light_id].set(
+                            jnp.asarray(kw["intensity"], jnp.float32)))
+                if "position" in kw:
+                    lights = lights.replace(
+                        position=lights.position.at[light_id].set(
+                            jnp.asarray(kw["position"], jnp.float32)))
+                # lights don't participate in the accel: table re-upload +
+                # reset only (RTScene.cpp:356-391 light update path)
+                self.renderer.update_scene(scene.replace(lights=lights),
+                                           rebuild_accel=False)
+            elif kind == "scene":
+                from .renderer import Renderer
+                from .scene import builders
+
+                scene, camera = getattr(builders, payload)()
+                self.renderer = Renderer(scene, camera, self.renderer.cfg)
+                self._scene_name = payload
+                self._pivot = np.asarray(scene.center, np.float32)
+                self._eye = np.asarray(camera.position, np.float32)
+                self._render_time = 0.0
+        return bool(edits)
 
     # ---- loop ----------------------------------------------------------
     def serve(self, max_steps: int | None = None):
@@ -228,12 +361,23 @@ class ProgressiveViewer:
         the daemon thread started at construction); progressive
         accumulation continues until interrupted or ``max_steps`` frames
         have been stepped."""
+        import time as _t
+
         steps = 0
         while not self._stop.is_set():
-            self._apply_edits()
+            edited = self._apply_edits()
             if not self.renderer.stopped():
+                t0 = _t.perf_counter()
                 self.renderer.step(1)
-            steps += 1
+                dt = _t.perf_counter() - t0
+                self._render_time += dt
+                per = self.renderer.cfg.samples_per_pass
+                self._rate = per / dt if dt > 0 else 0.0
+                steps += 1  # counts RENDERED samples only (ADVICE r4)
+            elif not edited:
+                # target spp reached and no pending edits: idle politely
+                # instead of busy-spinning a core (ADVICE r4)
+                _t.sleep(0.05)
             if max_steps is not None and steps >= max_steps:
                 break
         # the HTTP server keeps serving the final image until stop()

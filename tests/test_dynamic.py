@@ -185,3 +185,34 @@ def test_animated_frames_fused_refit_match_host_rebuild(cornell):
         ref = Renderer(moved, camera, cfg)  # host rebuild per frame
         img_ref = np.asarray(ref.render(spp=1))
         np.testing.assert_allclose(img_fused, img_ref, rtol=1e-4, atol=1e-5)
+
+
+def test_renderer_update_scene_refits_without_rebuild(cornell, monkeypatch):
+    """Transform-only edits through ``Renderer.update_scene`` must take the
+    in-jit refit path — no host ``build_blocked`` call — and produce the
+    same image as a full rebuild (VERDICT r4 item 5; the reference's
+    refit-via-Commit from the same entry point, RTScene.cpp:317-391)."""
+    scene, camera = cornell
+    cfg = RenderConfig(width=16, height=16, spp=2, samples_per_pass=2,
+                       accel=AccelType.BLOCKED,
+                       integrator=IntegratorConfig(max_depth=2))
+    r = Renderer(scene, camera, cfg)
+    anim = SceneAnimator.create(scene)
+    moved = anim.set_transform(TALL_BOX, translation((0.2, 0.0, 0.1)))
+
+    # any host rebuild after this point is a test failure
+    from mcrt_tpu.accel import pallas_blocked
+
+    def _boom(*a, **k):  # pragma: no cover - failure path
+        raise AssertionError("build_blocked called on a transform-only edit")
+
+    monkeypatch.setattr(pallas_blocked, "build_blocked", _boom)
+    r.update_scene(moved)  # same indices/face_valid leaves -> refit
+    img_refit = np.asarray(r.render())
+
+    monkeypatch.undo()
+    img_rebuild = np.asarray(Renderer(moved, camera, cfg).render())
+    np.testing.assert_allclose(img_refit, img_rebuild, atol=1e-5)
+    # and the edit actually changed the image vs the original scene
+    img_orig = np.asarray(Renderer(scene, camera, cfg).render())
+    assert np.abs(img_refit - img_orig).max() > 1e-3

@@ -196,3 +196,112 @@ def test_refit_two_level_matches_rebuild():
                                rtol=1e-5, atol=1e-5)
     np.testing.assert_array_equal(np.asarray(h_r.shape)[m],
                                   np.asarray(h_b.shape)[m])
+
+
+# --------------------------------------------------------------------------
+# Production-path instancing (VERDICT r4 item 3): scenes built with
+# SceneBuffers.add_instanced route through AccelType.AUTO -> the multi-BLAS
+# two-level engine, shade with per-shape transforms, and match the baked
+# oracle exactly.
+# --------------------------------------------------------------------------
+
+
+def _render(scene, camera, accel, w=32, spp=4, depth=2):
+    from mcrt_tpu import RenderConfig, Renderer
+    from mcrt_tpu.config import AccelType, IntegratorConfig
+
+    cfg = RenderConfig(width=w, height=w, spp=spp, samples_per_pass=spp,
+                       accel=accel,
+                       integrator=IntegratorConfig(max_depth=depth))
+    return Renderer(scene, camera, cfg), np.asarray(
+        Renderer(scene, camera, cfg).render())
+
+
+def test_instanced_scene_matches_baked_render():
+    """End-to-end: instanced scene through Renderer+AUTO (two-level) equals
+    the identical baked scene through the brute oracle."""
+    from mcrt_tpu.config import AccelType
+    from mcrt_tpu.scene.builders import instanced_boxes
+
+    si, cam = instanced_boxes(3)
+    sb, _ = instanced_boxes(3, bake=True)
+    assert si.geometry.instanced and si.instances.num == 8
+    assert sb.instances is None
+    r, img_i = _render(si, cam, AccelType.AUTO)
+    from mcrt_tpu.accel.two_level import TwoLevelAccel
+
+    assert isinstance(r.intersector.accel, TwoLevelAccel)  # AUTO dispatch
+    _, img_b = _render(sb, cam, AccelType.BRUTE)
+    np.testing.assert_allclose(img_i, img_b, atol=1e-4)
+    assert img_i.mean() > 0.02
+
+
+def test_instanced_rejects_flat_accels():
+    from mcrt_tpu import RenderConfig, Renderer
+    from mcrt_tpu.config import AccelType
+    from mcrt_tpu.scene.builders import instanced_boxes
+    import pytest
+
+    si, cam = instanced_boxes(2)
+    cfg = RenderConfig(width=8, height=8, accel=AccelType.BRUTE)
+    with pytest.raises(ValueError, match="instanced"):
+        Renderer(si, cam, cfg)
+
+
+def test_instanced_memory_sublinear():
+    """Accel + geometry memory must grow O(1)-ish with instance count —
+    the point of CreateInstance (``radeon_rays.h:223-227``): doubling the
+    instance count grows the instanced representation by only the per-pair
+    metadata, while the baked scene doubles its geometry."""
+    from mcrt_tpu.accel.two_level import build_two_level_scene
+    from mcrt_tpu.accel.pallas_blocked import build_blocked
+    from mcrt_tpu.runtime.platform import _nbytes
+    from mcrt_tpu.scene.builders import instanced_boxes
+
+    def inst_bytes(grid):
+        s, _ = instanced_boxes(grid)
+        acc = build_two_level_scene(s.geometry, s.shapes.to_world,
+                                    s.instances)
+        return _nbytes(acc) + _nbytes(s.geometry)
+
+    def baked_bytes(grid):
+        s, _ = instanced_boxes(grid, bake=True)
+        return _nbytes(build_blocked(s.geometry)) + _nbytes(s.geometry)
+
+    i4, i6 = inst_bytes(4), inst_bytes(6)   # 15 -> 35 instances (2.3x)
+    b4, b6 = baked_bytes(4), baked_bytes(6)
+    # baked grows with instance count; instanced barely moves
+    assert (i6 - i4) < 0.25 * (b6 - b4), (i4, i6, b4, b6)
+    assert i6 < b6  # and is absolutely smaller at scale
+
+
+def test_instanced_transform_edit_refits_through_renderer(monkeypatch):
+    """Editing an instance transform via Renderer.update_scene must take the
+    in-jit refit path (no build_two_level_scene host rebuild) and match a
+    full rebuild — the dynamic-instance path (``RTScene.cpp:317-359``)."""
+    from mcrt_tpu import RenderConfig, Renderer
+    from mcrt_tpu.config import AccelType, IntegratorConfig
+    from mcrt_tpu.scene.builders import instanced_boxes
+    from mcrt_tpu.scene.dynamic import set_shape_transform, translation
+
+    si, cam = instanced_boxes(3)
+    cfg = RenderConfig(width=24, height=24, spp=2, samples_per_pass=2,
+                       integrator=IntegratorConfig(max_depth=2))
+    r = Renderer(si, cam, cfg)
+    shape_id = int(np.asarray(si.instances.shape)[0])
+    edited = set_shape_transform(si, shape_id, translation((0.5, 0.3, 0.0)))
+
+    from mcrt_tpu.accel import two_level
+
+    def _boom(*a, **k):  # pragma: no cover
+        raise AssertionError("host rebuild on a transform-only edit")
+
+    monkeypatch.setattr(two_level, "build_two_level_scene", _boom)
+    r.update_scene(edited)
+    img_refit = np.asarray(r.render())
+
+    monkeypatch.undo()
+    _, img_rebuild = _render(edited, cam, AccelType.AUTO, w=24, spp=2)
+    np.testing.assert_allclose(img_refit, img_rebuild, atol=1e-5)
+    _, img_orig = _render(si, cam, AccelType.AUTO, w=24, spp=2)
+    assert np.abs(img_refit - img_orig).max() > 1e-3  # edit visible

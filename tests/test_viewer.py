@@ -74,3 +74,56 @@ def test_material_edit_applies_without_accel_rebuild(viewer):
     mats = viewer.renderer.scene.materials
     np.testing.assert_allclose(np.asarray(mats.diffuse[0]), (0.9, 0.1, 0.1))
     np.testing.assert_allclose(float(mats.roughness[0]), 0.5)
+
+
+def test_light_edit_applies_and_resets(viewer):
+    """Light intensity/position edits re-upload the lights table and reset
+    accumulation without an accel rebuild (VERDICT r4 item 6;
+    ``PathTracingGUI.cpp:106-118`` light editing)."""
+    viewer.renderer.step(1)
+    isect_before = viewer.renderer.intersector
+    viewer.enqueue_light(0, intensity=(9.0, 8.0, 7.0),
+                         position=(0.1, 1.9, 0.2))
+    viewer._apply_edits()
+    assert int(viewer.renderer.accum.frame) == 0  # reset
+    assert viewer.renderer.intersector is isect_before  # no accel rebuild
+    lights = viewer.renderer.scene.lights
+    np.testing.assert_allclose(np.asarray(lights.intensity[0]),
+                               (9.0, 8.0, 7.0))
+    np.testing.assert_allclose(np.asarray(lights.position[0]),
+                               (0.1, 1.9, 0.2))
+    # brighter light -> brighter converged pixel sum
+    viewer.renderer.step(2)
+
+
+def test_stats_endpoint(viewer):
+    t = threading.Thread(target=viewer.serve, kwargs={"max_steps": 2},
+                         daemon=True)
+    t.start()
+    t.join(timeout=180)
+    assert not t.is_alive()
+    code, body = _get(viewer, "/api/stats")
+    st = json.loads(body)
+    assert code == 200
+    assert st["spp"] == 2
+    assert st["render_time_s"] > 0.0
+    assert st["samples_per_sec"] > 0.0
+    assert st["scene_bytes"] > 0
+
+
+def test_scene_switcher(viewer):
+    """Runtime scene switch rebuilds the renderer on the new scene
+    (``PathTracingApp`` scene descriptors + GUI scene selector)."""
+    code, body = _get(viewer, "/api/scenes")
+    assert code == 200 and "cornell_box" in json.loads(body)["scenes"]
+    old_renderer = viewer.renderer
+    viewer.enqueue_scene("textured_hall")
+    viewer._apply_edits()
+    assert viewer.renderer is not old_renderer
+    assert viewer._scene_name == "textured_hall"
+    viewer.renderer.step(1)
+    assert int(viewer.renderer.accum.frame) == 1
+    # unknown scenes are rejected at the HTTP layer
+    import urllib.error
+    with pytest.raises(urllib.error.HTTPError):
+        _get(viewer, "/api/scene?name=does_not_exist")
