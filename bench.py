@@ -328,6 +328,7 @@ def measure_secondary(width, height, depth, spp_per_call):
 _RING_SNIPPET = r"""
 import json, time
 import jax, jax.numpy as jnp
+import numpy as np
 jax.config.update("jax_platforms", "cpu")
 from mcrt_tpu.accel import build_intersector
 from mcrt_tpu.camera.pinhole import pixel_uv
@@ -335,35 +336,63 @@ from mcrt_tpu.config import AccelType, RenderConfig
 from mcrt_tpu.core.types import Rays
 from mcrt_tpu.parallel.mesh import make_mesh
 from mcrt_tpu.parallel.ring import build_sharded_scene
-from mcrt_tpu.scene.builders import cornell_box
+from mcrt_tpu.scene.builders import SceneBuffers, icosphere, quad
+from mcrt_tpu.scene.scene import UberMaterial, build_scene
 
-scene, camera = cornell_box()
+# mid-size procedural scene (~5.2k tris): 16 icospheres + floor, so each
+# of the 8 shards holds ~650 triangles and per-shard culling has work to
+# do (cornell's 36 tris/shard measured kernel overhead, not the ring)
+sb = SceneBuffers()
+p, i = quad([-6, 0, 6], [6, 0, 6], [6, 0, -6], [-6, 0, -6])
+sb.add_mesh(p, i, 0)
+for gx in range(4):
+    for gz in range(4):
+        p, i, _ = icosphere(((gx - 1.5) * 2.2, 0.7, (gz - 1.5) * 2.2),
+                            0.65, subdiv=2)
+        sb.add_mesh(p, i, 0)
+positions, normals, uvs, indices, face_shape, sm, sl = sb.concat()
+scene = build_scene(positions, normals, uvs, indices, face_shape, sm,
+                    [UberMaterial(diffuse=(0.6,) * 3)], shape_light=sl)
+
+from mcrt_tpu.camera.pinhole import PinholeCamera
+camera = PinholeCamera.look_at(eye=(0.0, 5.0, 9.0), target=(0.0, 0.5, 0.0),
+                               fov_deg=50.0, aspect=1.0)
 uv = pixel_uv(128, 128)
 o, d = camera.generate_rays(uv)
 rays = Rays.make(o, d)
 mesh = make_mesh(n_spp=1, n_rays=len(jax.devices()))
 sscene, ring = build_sharded_scene(scene, mesh, use_blocked=True)
-cfg = RenderConfig(width=128, height=128, accel=AccelType.LBVH)
+# like-for-like baseline (VERDICT r4 item 4): the SAME blocked engine,
+# replicated — so the ratio isolates ring comm + per-shard re-query cost,
+# not a kernel-vs-kernel difference
+cfg = RenderConfig(width=128, height=128, accel=AccelType.BLOCKED)
 rep = build_intersector(scene, cfg)
+
+def run(fn, s, r, reps=4):
+    jax.block_until_ready(fn(s, r))
+    ts = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        jax.block_until_ready(fn(s, r))
+        ts.append(time.perf_counter() - t0)
+    return sorted(ts)[len(ts) // 2]
 
 j_ring = jax.jit(lambda s, r: ring.intersect(s, r).t.sum())
 j_rep = jax.jit(lambda s, r: rep.intersect(s, r).t.sum())
-float(j_ring(sscene, rays)); float(j_rep(scene, rays))
-t0 = time.time()
-for _ in range(4):
-    a = j_ring(sscene, rays)
-_ = float(a); t_ring = (time.time() - t0) / 4
-t0 = time.time()
-for _ in range(4):
-    b = j_rep(scene, rays)
-_ = float(b); t_rep = (time.time() - t0) / 4
-print(json.dumps({"t_ring": t_ring, "t_rep": t_rep}))
+t_ring = run(j_ring, sscene, rays)
+t_rep = run(j_rep, scene, rays)
+print(json.dumps({"t_ring": t_ring, "t_rep": t_rep,
+                  "tris": int(np.asarray(scene.geometry.face_valid).sum())}))
 """
 
 
 def measure_ring() -> float:
-    """Ring-sharded intersector cost vs a replicated intersector on the
-    same rays, 8-CPU-device mesh (VERDICT r3 item 5: measure the ring)."""
+    """Ring-sharded intersector cost vs the REPLICATED BLOCKED intersector
+    on the same rays and scene, 8-CPU-device mesh (VERDICT r4 item 4:
+    like-for-like baseline).  Both sides run the blocked kernels in
+    interpret mode (no TPU pod is available), so absolute times are not
+    TPU times — the ratio isolates ring ppermute + 8x re-query overhead
+    against one replicated query of the same engine."""
     env = dict(os.environ)
     env.update({
         "JAX_PLATFORMS": "cpu",
@@ -373,14 +402,15 @@ def measure_ring() -> float:
     })
     out = subprocess.run([sys.executable, "-c", _RING_SNIPPET],
                          capture_output=True, text=True, env=env,
-                         timeout=1200)
+                         timeout=2400)
     line = [ln for ln in out.stdout.splitlines() if ln.startswith("{")]
     if not line:
         log(f"ring run failed: {out.stderr[-500:]}")
         return float("nan")
     r = json.loads(line[-1])
-    log(f"ring: {r['t_ring']*1e3:.1f} ms vs replicated {r['t_rep']*1e3:.1f} "
-        f"ms per query (8-CPU-dev, cornell)")
+    log(f"ring: {r['t_ring']*1e3:.1f} ms vs replicated-blocked "
+        f"{r['t_rep']*1e3:.1f} ms per query "
+        f"({r['tris']} tris, 8 shards, 8-CPU-dev interpret)")
     return r["t_ring"] / r["t_rep"]
 
 

@@ -33,7 +33,7 @@ SIZE = 32
 
 
 def render_fixture(name: str, accel=None, integrator=None,
-                   spp=None, depth=None) -> np.ndarray:
+                   spp=None, depth=None, size=None) -> np.ndarray:
     from mcrt_tpu import RenderConfig, Renderer
     from mcrt_tpu.config import AccelType, IntegratorConfig, IntegratorType
     from mcrt_tpu.scene.builders import scene_from_obj
@@ -44,8 +44,9 @@ def render_fixture(name: str, accel=None, integrator=None,
     scene, camera = scene_from_obj(
         os.path.join(FIXTURE_DIR, f"{name}.obj"), camera_kw=CAMERA
     )
+    size = size if size is not None else SIZE
     cfg = RenderConfig(
-        width=SIZE, height=SIZE, spp=spp, samples_per_pass=spp,
+        width=size, height=size, spp=spp, samples_per_pass=spp,
         accel=accel if accel is not None else AccelType.BRUTE,
         integrator=IntegratorConfig(
             type=(integrator if integrator is not None

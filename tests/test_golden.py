@@ -69,3 +69,23 @@ def test_golden_original_bdpt():
     img = render_fixture("CornellBox-Original",
                          integrator=IntegratorType.BDPT, spp=8, depth=3)
     _check(img, _load_golden("CornellBox-Original-bdpt"), tol=0.02)
+
+
+@needs_fixtures
+def test_golden_original_128():
+    """Flagship 128^2 golden (VERDICT r4 item 7): the 32^2 pins can miss
+    localized estimator bugs; this pins the full-resolution image."""
+    img = render_fixture("CornellBox-Original", size=128, spp=16)
+    _check(img, _load_golden("CornellBox-Original-128"), tol=0.02)
+
+
+@needs_fixtures
+def test_golden_original_bdpt_blocked():
+    """BDPT through the PRODUCTION blocked accel (VERDICT r4 item 7):
+    pins the bidirectional walks + batched strategies + chunked occlusion
+    against the Pallas engine (interpret mode on CPU), not just brute."""
+    from mcrt_tpu.config import AccelType, IntegratorType
+
+    img = render_fixture("CornellBox-Original", accel=AccelType.BLOCKED,
+                         integrator=IntegratorType.BDPT, spp=8, depth=3)
+    _check(img, _load_golden("CornellBox-Original-bdpt"), tol=0.02)

@@ -18,8 +18,10 @@ BUNNY = "/root/reference/assets/meshes/bunny.obj"
 needs_bunny = pytest.mark.skipif(not os.path.exists(BUNNY),
                                  reason="bunny fixture not present")
 
-SIZE = 64
-SPP = 4
+# 128^2 flagship size (VERDICT r4 item 7); spp kept small to
+# bound interpret-mode runtime on CPU CI
+SIZE = 128
+SPP = 2
 DEPTH = 3
 
 

@@ -63,6 +63,11 @@ def main():
     path = os.path.join(GOLDEN_DIR, "CornellBox-Original-bdpt.npz")
     np.savez_compressed(path, image=img.astype(np.float16))
     print(f"CornellBox-Original-bdpt: mean {img.mean():.4f} -> {path}")
+    # flagship 128^2 golden (VERDICT r4 item 7)
+    img = render_fixture("CornellBox-Original", size=128, spp=16)
+    path = os.path.join(GOLDEN_DIR, "CornellBox-Original-128.npz")
+    np.savez_compressed(path, image=img.astype(np.float16))
+    print(f"CornellBox-Original-128: mean {img.mean():.4f} -> {path}")
     # heavy composite golden (tests/test_heavy_golden.py): rendered with
     # the SAH builder; the SBVH test must match the same image
     import tests.test_heavy_golden as hg
