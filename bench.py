@@ -425,17 +425,20 @@ def main():
 
     from mcrt_tpu.accel import build_intersector
     from mcrt_tpu.config import (
-        AccelType, IntegratorConfig, RenderConfig, SamplerConfig, SamplerType,
+        AccelType, BuilderType, BVHConfig, IntegratorConfig, RenderConfig,
+        SamplerConfig, SamplerType,
     )
     from mcrt_tpu.parallel.render import render_spp_batch
     from mcrt_tpu.scene import builders
 
     accel = AccelType(os.environ.get("BENCH_ACCEL", "auto"))
+    builder = BuilderType(os.environ.get("BENCH_BUILDER", "sah"))
     fuse = os.environ.get("BENCH_FUSE", "0") == "1"
     scene, camera = getattr(builders, scene_name)()
 
     cfg = RenderConfig(
         width=width, height=height, spp=spp_per_call, accel=accel,
+        bvh=BVHConfig(builder=builder),
         sampler=SamplerConfig(type=SamplerType.SOBOL),
         integrator=IntegratorConfig(max_depth=depth,
                                     fuse_shadow_rays=fuse),

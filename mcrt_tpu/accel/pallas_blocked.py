@@ -432,29 +432,42 @@ def _expand10(x: jax.Array) -> jax.Array:
 
 
 def _coherence_order(rays: Rays, bounds: jax.Array) -> jax.Array:
-    """6D Morton sort key (origin cell, high bits | direction cell): groups
-    incoherent bounce rays so tile-level culling bites — measured 2.1x on
-    fully random rays at 244k tris.  Inactive rays sort to the END of the
-    wavefront, so trailing tiles have empty visit lists and cost nothing
-    (wavefront compaction; the reference instead flags-and-skips dead lanes,
-    ``kernel_data.h:419-440``)."""
+    """6D Morton sort key (origin cell | direction cell): groups incoherent
+    bounce rays so tile-level culling bites — measured 2.1x on fully random
+    rays at 244k tris.  Inactive rays sort to the END of the wavefront, so
+    trailing tiles have empty visit lists and cost nothing (wavefront
+    compaction; the reference instead flags-and-skips dead lanes,
+    ``kernel_data.h:419-440``).
+
+    Single-operand sort: the key occupies the TOP ``32 - idx_bits`` bits and
+    the ray index the rest, so ONE u32 sort replaces argsort's (key, iota)
+    pair — ~2x less data through the TPU sorting network.  The key budget is
+    split between position and direction Morton bits; at 512^2 (14 key
+    bits) the measured optimum on real bounce-1 wavefronts is ~8 position +
+    6 direction bits — beating both a position-only key (ADVICE r4: the old
+    layout silently dropped ALL direction bits at production sizes) and a
+    full-precision (key, iota) pair sort (27-bit key, 155 ms): direction
+    clustering matters more than fine position bits once tiles span the
+    scene (142 vs 155/162 ms on the bounce-1 query)."""
     lo, hi = bounds[0], bounds[1]
     p01 = (rays.o - lo) / jnp.maximum(hi - lo, 1e-12)
     q = jnp.clip((p01 * 64.0).astype(jnp.int32), 0, 63)
     dq = jnp.clip(((rays.d * 0.5 + 0.5) * 8.0).astype(jnp.int32), 0, 7)
     code = (_expand10(q[:, 0]) << 2) | (_expand10(q[:, 1]) << 1) | _expand10(q[:, 2])
     dcode = (_expand10(dq[:, 0]) << 2) | (_expand10(dq[:, 1]) << 1) | _expand10(dq[:, 2])
-    key = ((code << 9) | dcode) >> 2  # top bits reserved for the dead flag
-    key = jnp.where(rays.active, key, jnp.uint32(0xFFFFFFFF))
-    # single-operand sort: replace the key's low bits with the ray index and
-    # sort ONE u32 array instead of argsort's (key, iota) pair — ~2x less
-    # data through the TPU sorting network.  The dropped low key bits only
-    # blur ordering WITHIN a coherence bucket, which the 256-ray tiles
-    # quantize away anyway.
-    n = key.shape[0]
+    n = q.shape[0]
     idx_bits = max(1, (n - 1).bit_length())
+    key_bits = max(32 - idx_bits, 0)
+    dir_bits = min(9, max(0, key_bits - 8))  # up to 9, after 8 position bits
+    pos_bits = min(18, key_bits - dir_bits)
+    key = ((code >> (18 - pos_bits)) << dir_bits) \
+        | (dcode >> (9 - dir_bits)) if key_bits else jnp.zeros_like(code)
     mask = jnp.uint32((1 << idx_bits) - 1)
-    packed = (key & ~mask) | jnp.arange(n, dtype=jnp.uint32)
+    packed = (key.astype(jnp.uint32) << idx_bits) \
+        | jnp.arange(n, dtype=jnp.uint32)
+    packed = jnp.where(rays.active, packed,
+                       jnp.uint32(0xFFFFFFFF) & ~mask
+                       | jnp.arange(n, dtype=jnp.uint32))
     return (jnp.sort(packed) & mask).astype(jnp.int32)
 
 

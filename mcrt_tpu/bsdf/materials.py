@@ -125,5 +125,6 @@ def fetch_bsdf(scene: Scene, it: Interaction,
         conductor_k=g(mats.conductor_k),
         rs_blend=g(mats.rs_blend),
         dist=dist,
+        used=getattr(mats, "used_lobes", (True,) * 7),
     )
     return bsdf, it

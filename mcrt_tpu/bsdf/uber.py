@@ -39,6 +39,10 @@ LOBE_GLOSSY = 1
 LOBE_SPEC_REFL = 2
 LOBE_SPEC_TRANS = 3
 LOBE_PASSTHROUGH = 4
+# indices into the STATIC scene-wide used-lobe mask (Materials.used_lobes):
+# the five lobes above plus the conductor-Fresnel and Fresnel-blend variants
+U_COND = 5
+U_BLEND = 6
 
 
 class UberBSDF(struct.PyTreeNode):
@@ -56,6 +60,9 @@ class UberBSDF(struct.PyTreeNode):
     conductor_k: jax.Array  # (N, 3) conductor absorption; any>0 => conductor
     rs_blend: jax.Array  # (N, 3) any>0 => Fresnel-blend replaces Lambertian
     dist: int = struct.field(pytree_node=False, default=bx.TROWBRIDGE_REITZ)
+    # STATIC scene-wide lobe mask (see Materials.used_lobes): lobes absent
+    # from EVERY material compile away from eval/pdf/sample entirely
+    used: tuple = struct.field(pytree_node=False, default=(True,) * 7)
 
     def is_fresnel_blend(self):
         return jnp.any(self.rs_blend > 0.0, -1)
@@ -65,14 +72,18 @@ class UberBSDF(struct.PyTreeNode):
 
     def lobe_masks(self):
         """(N, 5) bool — which lobes are present (isNotBlack per color).
-        Lobe 0 covers both Lambertian and its Fresnel-blend replacement."""
+        Lobe 0 covers both Lambertian and its Fresnel-blend replacement.
+        Statically-unused lobes fold to constant False columns."""
+        f = jnp.zeros(self.alpha.shape, bool)
+        u = self.used
         return jnp.stack(
             [
-                jnp.any(self.diffuse > 0.0, -1),
-                jnp.any(self.glossy > 0.0, -1),
-                jnp.any(self.kr > 0.0, -1),
-                jnp.any(self.kt > 0.0, -1),
-                jnp.any(self.passthrough > 0.0, -1),
+                jnp.any(self.diffuse > 0.0, -1) if u[LOBE_DIFFUSE] else f,
+                jnp.any(self.glossy > 0.0, -1) if u[LOBE_GLOSSY] else f,
+                jnp.any(self.kr > 0.0, -1) if u[LOBE_SPEC_REFL] else f,
+                jnp.any(self.kt > 0.0, -1) if u[LOBE_SPEC_TRANS] else f,
+                jnp.any(self.passthrough > 0.0, -1) if u[LOBE_PASSTHROUGH]
+                else f,
             ],
             axis=-1,
         )
@@ -108,15 +119,20 @@ def evaluate(bsdf: UberBSDF, wo: jax.Array, wi: jax.Array) -> jax.Array:
     """Sum of non-delta lobes (``evaluateUberBSDF``, bxdfs.cl:804-827).
     Reflection-only: the uber material's non-delta transmission is zero."""
     refl = bx.same_hemisphere(wo, wi)
-    fb = bsdf.is_fresnel_blend()
-    f_lam = bx.lambertian_f(bsdf.diffuse)
-    f_blend = bx.fresnel_blend_f(
-        bsdf.diffuse, bsdf.rs_blend, bsdf.alpha, wo, wi, bsdf.dist
-    )
-    f_diff = jnp.where(fb[..., None], f_blend, f_lam)
-    f_gloss = bx.microfacet_reflection_f(
-        bsdf.glossy, bsdf.alpha, jnp.ones_like(bsdf.eta), bsdf.eta, wo, wi, bsdf.dist
-    )
+    zero3 = jnp.zeros_like(bsdf.diffuse)
+    if bsdf.used[LOBE_DIFFUSE]:
+        f_diff = bx.lambertian_f(bsdf.diffuse)
+        if bsdf.used[U_BLEND]:
+            f_blend = bx.fresnel_blend_f(
+                bsdf.diffuse, bsdf.rs_blend, bsdf.alpha, wo, wi, bsdf.dist
+            )
+            fb = bsdf.is_fresnel_blend()
+            f_diff = jnp.where(fb[..., None], f_blend, f_diff)
+    else:
+        f_diff = zero3
+    f_gloss = (bx.microfacet_reflection_f(
+        bsdf.glossy, bsdf.alpha, jnp.ones_like(bsdf.eta), bsdf.eta, wo, wi,
+        bsdf.dist) if bsdf.used[LOBE_GLOSSY] else zero3)
     msk = bsdf.lobe_masks()
     f = (
         jnp.where(msk[..., LOBE_DIFFUSE, None], f_diff, 0.0)
@@ -131,8 +147,11 @@ def pdf(bsdf: UberBSDF, wo: jax.Array, wi: jax.Array) -> jax.Array:
     msk = bsdf.lobe_masks()
     num = jnp.maximum(bsdf.num_lobes(), 1).astype(jnp.float32)
     refl = bx.same_hemisphere(wo, wi)
-    p_diff = smp.cosine_hemisphere_pdf(bx.cos_theta(wi))
-    p_gloss = bx.microfacet_reflection_pdf(wo, wi, bsdf.alpha, bsdf.dist)
+    zero = jnp.zeros_like(bsdf.alpha)
+    p_diff = (smp.cosine_hemisphere_pdf(bx.cos_theta(wi))
+              if bsdf.used[LOBE_DIFFUSE] else zero)
+    p_gloss = (bx.microfacet_reflection_pdf(wo, wi, bsdf.alpha, bsdf.dist)
+               if bsdf.used[LOBE_GLOSSY] else zero)
     p = (
         jnp.where(msk[..., LOBE_DIFFUSE] & refl, p_diff, 0.0)
         + jnp.where(msk[..., LOBE_GLOSSY] & refl, p_gloss, 0.0)
@@ -171,21 +190,38 @@ def sample(bsdf: UberBSDF, wo: jax.Array, u3: jax.Array,
     u2b = jnp.stack([u3[..., 1], u3[..., 2]], axis=-1)
 
     eta_i, eta_t = _eta_for(bx.cos_theta(wo), bsdf.eta)
+    u = bsdf.used
+    zero3 = jnp.zeros_like(wo)
+
+    # statically-unused lobes produce placeholder directions; the selects
+    # below never pick them (their lobe_masks column is constant False)
 
     # --- lobe 0: Lambertian (cosine hemisphere in wo's hemisphere)
-    wi_d = smp.cosine_hemisphere(u2b)
-    wi_d = jnp.where((bx.cos_theta(wo) < 0.0)[..., None], wi_d * jnp.asarray([1.0, -1.0, 1.0]), wi_d)
+    if u[LOBE_DIFFUSE]:
+        wi_d = smp.cosine_hemisphere(u2b)
+        wi_d = jnp.where((bx.cos_theta(wo) < 0.0)[..., None],
+                         wi_d * jnp.asarray([1.0, -1.0, 1.0]), wi_d)
+    else:
+        wi_d = zero3
 
     # --- lobe 1: microfacet reflection
-    wh = bx.mf_sample_wh(wo, u2b, bsdf.alpha, bsdf.dist)
-    wi_g = m.normalize(-wo + 2.0 * m.dot3(wo, wh) * wh)
-    gloss_ok = bx.same_hemisphere(wo, wi_g)
+    if u[LOBE_GLOSSY]:
+        wh = bx.mf_sample_wh(wo, u2b, bsdf.alpha, bsdf.dist)
+        wi_g = m.normalize(-wo + 2.0 * m.dot3(wo, wh) * wh)
+        gloss_ok = bx.same_hemisphere(wo, wi_g)
+    else:
+        wi_g = zero3
+        gloss_ok = jnp.zeros(wo.shape[:-1], bool)
 
     # --- lobe 2: perfect mirror
-    wi_r = bx.reflect_local(wo)
+    wi_r = bx.reflect_local(wo) if u[LOBE_SPEC_REFL] else zero3
 
     # --- lobe 3: specular transmission
-    wi_t, tir = bx.refract_local(wo, eta_i / eta_t)
+    if u[LOBE_SPEC_TRANS]:
+        wi_t, tir = bx.refract_local(wo, eta_i / eta_t)
+    else:
+        wi_t = zero3
+        tir = jnp.zeros(wo.shape[:-1], bool)
 
     # --- lobe 4: opacity pass-through
     wi_p = -wo
@@ -208,21 +244,35 @@ def sample(bsdf: UberBSDF, wo: jax.Array, u3: jax.Array,
 
     # delta-lobe f values (f includes the 1/|cos| so that f*cos/pdf is exact).
     # fresnel_dielectric swaps etas internally on signed cos, so pass (1, eta).
-    fr_r = bx.fresnel_dielectric(bx.cos_theta(wo), jnp.ones_like(bsdf.eta), bsdf.eta)
-    # conductor Fresnel for metallic kr (per-channel; any k>0 switches —
-    # sampleSpecularReflection_Conductor, bxdfs.cl:272-281)
-    fr_cond = bx.fresnel_conductor(
-        bx.cos_theta(wo), bsdf.conductor_eta, bsdf.conductor_k
-    )
-    fr_r3 = jnp.where(
-        bsdf.is_conductor()[..., None], fr_cond, fr_r[..., None]
-    )
-    f_specr = bsdf.kr * fr_r3 / abs_ci[..., None]
-    # radiance-transport eta^2 scaling for transmission (bxdfs.cl:288-307)
-    eta_scale = (eta_i / eta_t) ** 2
-    f_spect = bsdf.kt * ((1.0 - fr_r) * eta_scale / abs_ci)[..., None]
-    f_spect = jnp.where(tir[..., None], 0.0, f_spect)
-    f_pass = bsdf.passthrough / abs_ci[..., None]
+    if u[LOBE_SPEC_REFL] or u[LOBE_SPEC_TRANS]:
+        fr_r = bx.fresnel_dielectric(
+            bx.cos_theta(wo), jnp.ones_like(bsdf.eta), bsdf.eta)
+    else:
+        fr_r = jnp.zeros_like(bsdf.eta)
+    if u[LOBE_SPEC_REFL]:
+        fr_r3 = fr_r[..., None]
+        if u[U_COND]:
+            # conductor Fresnel for metallic kr (per-channel; any k>0
+            # switches — sampleSpecularReflection_Conductor,
+            # bxdfs.cl:272-281)
+            fr_cond = bx.fresnel_conductor(
+                bx.cos_theta(wo), bsdf.conductor_eta, bsdf.conductor_k
+            )
+            fr_r3 = jnp.where(
+                bsdf.is_conductor()[..., None], fr_cond, fr_r3
+            )
+        f_specr = bsdf.kr * fr_r3 / abs_ci[..., None]
+    else:
+        f_specr = zero3
+    if u[LOBE_SPEC_TRANS]:
+        # radiance-transport eta^2 scaling for transmission (bxdfs.cl:288-307)
+        eta_scale = (eta_i / eta_t) ** 2
+        f_spect = bsdf.kt * ((1.0 - fr_r) * eta_scale / abs_ci)[..., None]
+        f_spect = jnp.where(tir[..., None], 0.0, f_spect)
+    else:
+        f_spect = zero3
+    f_pass = (bsdf.passthrough / abs_ci[..., None]
+              if u[LOBE_PASSTHROUGH] else zero3)
 
     # non-delta mixture f and pdf at the sampled wi; detached estimator
     # stops gradients through the pdf (f stays attached)

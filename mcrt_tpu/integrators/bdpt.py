@@ -170,14 +170,18 @@ def _g_term(a_p, a_ns, b_p, b_ns):
     return jnp.abs(m.dot(a_ns, w)) * jnp.abs(m.dot(b_ns, w)) / d2
 
 
-def _zero_bsdf(n: int, dist: int) -> UberBSDF:
+def _zero_bsdf(n: int, like: UberBSDF | None = None) -> UberBSDF:
     """Lobe-less BSDF placeholder for origin vertices (never evaluated; a
-    zero lobe set yields f=0, pdf=0 if touched)."""
+    zero lobe set yields f=0, pdf=0 if touched).  Static fields (dist,
+    used-lobe mask) copy from ``like`` so stacking stays structurally
+    uniform."""
     z3 = jnp.zeros((n, 3), jnp.float32)
     z = jnp.zeros((n,), jnp.float32)
     return UberBSDF(diffuse=z3, glossy=z3, kr=z3, kt=z3, passthrough=z3,
                     alpha=z, eta=z, conductor_eta=z3, conductor_k=z3,
-                    rs_blend=z3, dist=dist)
+                    rs_blend=z3,
+                    dist=like.dist if like is not None else 0,
+                    used=like.used if like is not None else (True,) * 7)
 
 
 def random_walk(
@@ -263,9 +267,7 @@ def random_walk(
 
     n = verts.p.shape[0]
     n_verts = verts.p.shape[1]
-    dist = (step_bsdfs[start_index].dist if step_bsdfs
-            else _zero_bsdf(n, 0).dist)
-    zero = _zero_bsdf(n, dist)
+    zero = _zero_bsdf(n, step_bsdfs.get(start_index))
     stacked = jax.tree.map(
         lambda *xs: jnp.stack(xs, axis=1),
         *[step_bsdfs.get(i, zero) for i in range(n_verts)],

@@ -170,6 +170,14 @@ class Materials(struct.PyTreeNode):
     used_slots: tuple = struct.field(
         pytree_node=False, default=(True,) * N_TEX_SLOTS
     )
+    # STATIC per-LOBE mask (diffuse, glossy, spec_refl, spec_trans,
+    # passthrough, conductor, fresnel_blend): a lobe no material in the
+    # scene carries compiles away from eval/pdf/sample entirely — the
+    # per-program hoist of the reference's per-thread lobe-flag branches
+    # (``sampleUberBSDF``, bxdfs.cl:892-1053).  Texture modulation only
+    # MULTIPLIES constants, so a zero constant keeps its lobe off; opacity
+    # is the exception (textures can lower it below 1), handled in stack().
+    used_lobes: tuple = struct.field(pytree_node=False, default=(True,) * 7)
 
     @classmethod
     def stack(cls, mats: list["UberMaterial"]):
@@ -194,6 +202,19 @@ class Materials(struct.PyTreeNode):
                 np.stack([m.rs_blend for m in mats]).astype(f)
             ),
             used_slots=tuple(bool(b) for b in (tex_np >= 0).any(axis=0)),
+            used_lobes=(
+                bool((np.stack([m.diffuse for m in mats]) > 0).any()),
+                bool((np.stack([m.glossy for m in mats]) > 0).any()),
+                bool((np.stack([m.kr for m in mats]) > 0).any()),
+                bool((np.stack([m.kt for m in mats]) > 0).any()),
+                # passthrough: any opacity < 1 OR a texture that can lower
+                # it (opacity map, or diffuse alpha) is bound
+                bool((np.stack([m.opacity for m in mats]) < 1.0).any()
+                     or (tex_np[:, TEX_OPACITY] >= 0).any()
+                     or (tex_np[:, TEX_DIFFUSE] >= 0).any()),
+                bool((np.stack([m.conductor_k for m in mats]) > 0).any()),
+                bool((np.stack([m.rs_blend for m in mats]) > 0).any()),
+            ),
         )
 
 
