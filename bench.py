@@ -433,15 +433,13 @@ def main():
 
     accel = AccelType(os.environ.get("BENCH_ACCEL", "auto"))
     builder = BuilderType(os.environ.get("BENCH_BUILDER", "sah"))
-    fuse = os.environ.get("BENCH_FUSE", "0") == "1"
     scene, camera = getattr(builders, scene_name)()
 
     cfg = RenderConfig(
         width=width, height=height, spp=spp_per_call, accel=accel,
         bvh=BVHConfig(builder=builder),
         sampler=SamplerConfig(type=SamplerType.SOBOL),
-        integrator=IntegratorConfig(max_depth=depth,
-                                    fuse_shadow_rays=fuse),
+        integrator=IntegratorConfig(max_depth=depth),
     )
     intersector = build_intersector(scene, cfg)
 

@@ -24,13 +24,6 @@ class Intersector(NamedTuple):
     intersect: Callable[[Scene, Rays], Hit]
     occluded: Callable[[Scene, Rays], jax.Array]
     accel: object  # accel pytree (donated into jit along with the scene)
-    # optional fused query: (scene, rays, anyhit_mask) -> Hit, where lanes
-    # flagged anyhit terminate on first accepted hit (valid == "blocked").
-    # Lets the integrator ride bounce i's shadow rays on bounce i+1's
-    # closest-hit wavefront — one kernel dispatch + one coherence sort per
-    # bounce instead of two (the reference instead pays a separate
-    # QueryOcclusion per bounce, RTPathTracingPass.cpp:161-202).
-    intersect_fused: Callable[[Scene, Rays, jax.Array], Hit] | None = None
 
 
 def blocked_intersector(acc, sort: bool | None = None) -> Intersector:
@@ -50,8 +43,6 @@ def blocked_intersector(acc, sort: bool | None = None) -> Intersector:
         occluded=lambda s, r: occluded_blocked(s.geometry, acc, r,
                                                sort=sort),
         accel=acc,
-        intersect_fused=lambda s, r, ah: intersect_blocked(
-            s.geometry, acc, r, sort=sort, anyhit=ah),
     )
 
 

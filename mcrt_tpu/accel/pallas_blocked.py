@@ -68,10 +68,13 @@ import os as _os
 
 BLOCK = 128  # triangles per block == DMA lane alignment (hard constraint)
 # rays per grid step (lane axis) and list entries per loop iteration —
-# env-overridable for on-chip tuning sweeps
-# swept on v5e (bunny_field 512^2 x 8 bounces): 256/8 beats 128/4 by ~3.5%
+# env-overridable for on-chip tuning sweeps.  Swept on v5e (bunny_field
+# 512^2 x 8 bounces, round 5, with the split coherence key): 256/4 wins —
+# 1.391M rays/s vs 1.374M (128/8), 1.373M (256/16), 1.307M (128/4),
+# 1.281M (round-4's 256/8); GROUP=4 halves the wasted MT work on
+# partially-entered visit groups while keeping the DMA double-buffer fed
 TILE = int(_os.environ.get("MCRT_TILE", "256"))
-GROUP = int(_os.environ.get("MCRT_GROUP", "8"))
+GROUP = int(_os.environ.get("MCRT_GROUP", "4"))
 # scenes at or below this many blocks skip cull/sort/visit-lists entirely
 # and run the dense all-blocks kernel on wide ray tiles (see _dense_query):
 # the per-query fixed costs (block cull, per-tile lax.sort, 2048-step grids)
@@ -471,20 +474,14 @@ def _coherence_order(rays: Rays, bounds: jax.Array) -> jax.Array:
     return (jnp.sort(packed) & mask).astype(jnp.int32)
 
 
-def _ray_table(rays: Rays, anyhit: jax.Array | None = None) -> jax.Array:
+def _ray_table(rays: Rays) -> jax.Array:
     """(N, 8) row-major ray table: o.xyz, d.xyz, tmin, tmax.  Inactive rays
-    get tmax=-BIG so every test fails.  Lanes flagged ``anyhit`` carry tmin
-    encoded as -(tmin+1): the closest kernel terminates them on their FIRST
-    accepted hit (occlusion semantics inside a closest-hit wavefront —
-    fused shadow rays).  Kept row-major so the coherence reorder is ONE
-    contiguous 32-byte-row gather instead of nine scattered column gathers
-    (measured 12 ms -> ~1 ms per query at 512^2 on v5e)."""
+    get tmax=-BIG so every test fails.  Kept row-major so the coherence
+    reorder is ONE contiguous 32-byte-row gather instead of nine scattered
+    column gathers (measured 12 ms -> ~1 ms per query at 512^2 on v5e)."""
     tmax = jnp.where(rays.active, jnp.minimum(rays.tmax, BIG), -BIG)
-    tmin = rays.tmin
-    if anyhit is not None:
-        tmin = jnp.where(anyhit, -(tmin + 1.0), tmin)
     return jnp.concatenate(
-        [rays.o, rays.d, tmin[:, None], tmax[:, None]], axis=1
+        [rays.o, rays.d, rays.tmin[:, None], tmax[:, None]], axis=1
     )
 
 
@@ -500,20 +497,18 @@ def _pack_table(table: jax.Array) -> jax.Array:
     return packed
 
 
-def _pack_rays(rays: Rays, anyhit: jax.Array | None = None) -> jax.Array:
+def _pack_rays(rays: Rays) -> jax.Array:
     """(8, Npad) transposed ray table (see ``_ray_table``/``_pack_table``)."""
-    return _pack_table(_ray_table(rays, anyhit))
+    return _pack_table(_ray_table(rays))
 
 
 def _ray_rows(rt):
     ox, oy, oz = rt[0:1], rt[1:2], rt[2:3]  # (1, T)
     dx, dy, dz = rt[3:4], rt[4:5], rt[5:6]
-    tmn_raw, tmx = rt[6:7], rt[7:8]
-    anyh = tmn_raw < -0.5  # sign-encoded any-hit flag (see _pack_rays)
-    tmn = jnp.where(anyh, -(tmn_raw + 1.0), tmn_raw)
+    tmn, tmx = rt[6:7], rt[7:8]
     sd = lambda c: jnp.where(jnp.abs(c) > 1e-12, c, 1e-12)
     return (ox, oy, oz, dx, dy, dz,
-            1.0 / sd(dx), 1.0 / sd(dy), 1.0 / sd(dz), tmn, tmx, anyh)
+            1.0 / sd(dx), 1.0 / sd(dy), 1.0 / sd(dz), tmn, tmx)
 
 
 def _mt_block(rows, ox, oy, oz, dx, dy, dz, tmn, tmx, best_t):
@@ -559,7 +554,7 @@ def _cull_kernel(rays_ref, *args, use_chunks=True):
     else:
         aabb_ref, key_ref = args
     rt = rays_ref[:]
-    ox, oy, oz, dx, dy, dz, ix, iy, iz, tmn, tmx, _ = _ray_rows(rt)
+    ox, oy, oz, dx, dy, dz, ix, iy, iz, tmn, tmx = _ray_rows(rt)
     any_live = jnp.max(rt[7:8]) > 0.0
     nbpad = aabb_ref.shape[0]
 
@@ -741,7 +736,7 @@ def _closest_kernel(count_ref, rays_ref, list_ref, tn_ref, tri_hbm,
     row = i % 8
     cnt = count_ref[i]
     rt = rays_ref[:]
-    ox, oy, oz, dx, dy, dz, _, _, _, tmn, tmx, anyh = _ray_rows(rt)
+    ox, oy, oz, dx, dy, dz, _, _, _, tmn, tmx = _ray_rows(rt)
     nbpad = list_ref.shape[1]
     entry, start_group, wait_group = _group_helpers(
         row, list_ref, tri_hbm, scratch, sems
@@ -786,9 +781,6 @@ def _closest_kernel(count_ref, rays_ref, list_ref, tn_ref, tri_hbm,
             best_slot = jnp.where(better, base * BLOCK + (j & (BLOCK - 1)),
                                   best_slot)
             best_t = jnp.where(better, tnew, best_t)
-            # any-hit lanes terminate on their first accepted hit: dropping
-            # best_t to -BIG stops their culling contribution and testing
-            best_t = jnp.where(anyh & (best_slot >= 0), -BIG, best_t)
             return k + 1, best_t, best_slot
 
         k, bt, bs = jax.lax.while_loop(
@@ -809,7 +801,7 @@ def _occluded_kernel(count_ref, rays_ref, list_ref, tri_hbm,
     row = i % 8
     cnt = count_ref[i]
     rt = rays_ref[:]
-    ox, oy, oz, dx, dy, dz, _, _, _, tmn, tmx, _ = _ray_rows(rt)
+    ox, oy, oz, dx, dy, dz, _, _, _, tmn, tmx = _ray_rows(rt)
     live0 = tmx > tmn  # inactive rays encoded with tmax=-BIG
     # blocked carried as f32 0/1: i1 vectors across while boundaries hit
     # Mosaic mask-layout mismatches (observed on v5e)
@@ -866,7 +858,7 @@ def _occluded_kernel(count_ref, rays_ref, list_ref, tri_hbm,
 
 def _dense_closest_kernel(rays_ref, tri_ref, t_ref, slot_ref):
     rt = rays_ref[:]
-    ox, oy, oz, dx, dy, dz, _, _, _, tmn, tmx, anyh = _ray_rows(rt)
+    ox, oy, oz, dx, dy, dz, _, _, _, tmn, tmx = _ray_rows(rt)
     nb = tri_ref.shape[1] // BLOCK
     best_t = jnp.full((1, rt.shape[1]), BIG, jnp.float32)
     best_slot = jnp.full((1, rt.shape[1]), -1, jnp.int32)
@@ -880,15 +872,13 @@ def _dense_closest_kernel(rays_ref, tri_ref, t_ref, slot_ref):
         better = tnew < best_t
         best_slot = jnp.where(better, b * BLOCK + j, best_slot)
         best_t = jnp.where(better, tnew, best_t)
-        # any-hit lanes stop updating after their first accepted hit
-        best_t = jnp.where(anyh & (best_slot >= 0), -BIG, best_t)
     t_ref[:] = best_t
     slot_ref[:] = best_slot
 
 
 def _dense_any_kernel(rays_ref, tri_ref, out_ref):
     rt = rays_ref[:]
-    ox, oy, oz, dx, dy, dz, _, _, _, tmn, tmx, _ = _ray_rows(rt)
+    ox, oy, oz, dx, dy, dz, _, _, _, tmn, tmx = _ray_rows(rt)
     nb = tri_ref.shape[1] // BLOCK
     blocked = jnp.zeros((1, rt.shape[1]), jnp.float32)
     for b in range(nb):
@@ -1086,14 +1076,11 @@ def _resolve_uv(tri: jax.Array, slot: jax.Array, rays: Rays):
 
 
 def intersect_blocked(geom: Geometry, accel: BlockedAccel, rays: Rays,
-                      sort: bool = True,
-                      anyhit: jax.Array | None = None) -> Hit:
+                      sort: bool = True) -> Hit:
     """Closest-hit query (``QueryIntersection`` analogue,
-    ``radeon_rays.h:267``).  Lanes flagged ``anyhit`` terminate on their
-    first accepted hit (fused occlusion semantics): their returned ``t`` is
-    meaningless but ``valid`` still means "something blocks"."""
+    ``radeon_rays.h:267``)."""
     n = rays.n
-    table = _ray_table(rays, anyhit)
+    table = _ray_table(rays)
     if sort:
         order = _coherence_order(rays, accel.bounds)
         table = jnp.take(table, order, axis=0)
@@ -1109,11 +1096,6 @@ def intersect_blocked(geom: Geometry, accel: BlockedAccel, rays: Rays,
         flat = lambda a: a.reshape(-1)[:n]
     t, slot = flat(t), flat(slot)
     found = slot >= 0
-    if anyhit is not None:
-        # any-hit lanes carry the kernel's termination sentinel t=-BIG;
-        # never let it escape the kernel boundary (ADVICE r3): those lanes
-        # only answer "blocked?" via `valid`
-        t = jnp.where(anyhit, F32_MAX, t)
     u, v = _resolve_uv(accel.tri, slot, rays)
     u = jnp.where(found, u, 0.0)
     v = jnp.where(found, v, 0.0)

@@ -115,14 +115,6 @@ class IntegratorConfig:
     # improvement over reference: MIS-weighted NEE (reference uses plain NEE
     # with emitter hits counted only on bounce 0 / after specular)
     use_mis: bool = False
-    # ride bounce i's NEE shadow rays on bounce i+1's closest-hit wavefront
-    # as any-hit lanes (one intersector dispatch per bounce instead of two).
-    # Measured ~5% SLOWER on v5e at 512^2 (the shared cull/sort work scales
-    # with rays, so halving dispatches saves little, and shadow lanes lose
-    # the cheaper dedicated occlusion kernel) — kept off by default; the
-    # capability is tested (test_blocked.py) for accels/meshes where
-    # dispatch overhead dominates.
-    fuse_shadow_rays: bool = False
 
 
 @dataclass(frozen=True)

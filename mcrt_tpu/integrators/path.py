@@ -134,7 +134,6 @@ def trace(
     intersect: IntersectFn,
     occluded: OccludedFn,
     diff=None,
-    intersect_fused=None,
 ) -> jax.Array:
     """Trace one camera-sample wavefront to completion; returns (N, 3) radiance.
 
@@ -142,65 +141,30 @@ def trace(
     LOD on the *primary* hit comes from the plane-transferred uv footprint
     (``geometry.cl:92-175``); secondary bounces sample the base mip, like the
     reference integrators (which call the non-differential
-    ``computeSurfaceInteraction``, ``PathTracing.cl:74``).
-
-    When the intersector provides a fused closest+any-hit query
-    (``intersect_fused``), bounce i's NEE shadow rays ride bounce i+1's
-    closest-hit wavefront as any-hit lanes: one kernel dispatch + one ray
-    coherence sort per bounce instead of two.  The reference instead issues a
-    separate blocking ``QueryOcclusion`` per bounce
-    (``RTPathTracingPass.cpp:161-202``)."""
-
+    ``computeSurfaceInteraction``, ``PathTracing.cl:74``)."""
     n = rays.n
     tp = Throughput.fresh(n)
     # pdf of the previous BSDF sampling event (for MIS emitter weighting)
     prev_pdf = jnp.ones((n,), jnp.float32)
     prev_p = rays.o
 
-    fuse = (intersect_fused is not None and cfg.enable_shadows
-            and getattr(cfg, "fuse_shadow_rays", False) and cfg.max_depth > 1)
+    def bounce(i, carry, bounce_diff=None):
+        rays, tp, stream, prev_pdf, prev_p = carry
+        hit = intersect(scene, rays)
+        (new_rays, tp, stream, prev_pdf, prev_p,
+         srays, contrib, nee_ok) = _shade(
+            scene, cfg, i, rays, hit, tp, stream, prev_pdf, prev_p,
+            bounce_diff)
+        if cfg.enable_shadows:
+            vis = nee_ok & ~occluded(scene, srays)
+        else:
+            vis = nee_ok
+        tp = _apply_vis(tp, contrib, vis)
+        return new_rays, tp, stream, prev_pdf, prev_p
 
-    if not fuse:
-        def bounce(i, carry, bounce_diff=None):
-            rays, tp, stream, prev_pdf, prev_p = carry
-            hit = intersect(scene, rays)
-            (new_rays, tp, stream, prev_pdf, prev_p,
-             srays, contrib, nee_ok) = _shade(
-                scene, cfg, i, rays, hit, tp, stream, prev_pdf, prev_p,
-                bounce_diff)
-            if cfg.enable_shadows:
-                vis = nee_ok & ~occluded(scene, srays)
-            else:
-                vis = nee_ok
-            tp = _apply_vis(tp, contrib, vis)
-            return new_rays, tp, stream, prev_pdf, prev_p
-
-        # peel the primary bounce: it alone carries ray differentials
-        carry = (rays, tp, stream, prev_pdf, prev_p)
-        carry = bounce(0, carry, bounce_diff=diff)
-        if cfg.max_depth > 1:
-            carry = jax.lax.fori_loop(1, cfg.max_depth, bounce, carry)
-        return carry[1].radiance
-
-    # ---- fused mode: pending shadow rays resolve one bounce late
-    hit = intersect(scene, rays)
-    carry = _shade(scene, cfg, 0, rays, hit, tp, stream, prev_pdf, prev_p,
-                   diff)
-
-    def fused_bounce(i, carry):
-        rays, tp, stream, prev_pdf, prev_p, srays, contrib, nee_ok = carry
-        both = jax.tree.map(lambda a, b: jnp.concatenate([a, b], 0),
-                            rays, srays)
-        anyhit = jnp.concatenate(
-            [jnp.zeros((n,), bool), jnp.ones((n,), bool)])
-        hit2 = intersect_fused(scene, both, anyhit)
-        hit = jax.tree.map(lambda a: a[:n], hit2)
-        tp = _apply_vis(tp, contrib, nee_ok & ~hit2.valid[n:])
-        return _shade(scene, cfg, i, rays, hit, tp, stream, prev_pdf, prev_p)
-
+    # peel the primary bounce: it alone carries ray differentials
+    carry = (rays, tp, stream, prev_pdf, prev_p)
+    carry = bounce(0, carry, bounce_diff=diff)
     if cfg.max_depth > 1:
-        carry = jax.lax.fori_loop(1, cfg.max_depth, fused_bounce, carry)
-    _, tp, _, _, _, srays, contrib, nee_ok = carry
-    # resolve the final bounce's pending shadow rays
-    tp = _apply_vis(tp, contrib, nee_ok & ~occluded(scene, srays))
-    return tp.radiance
+        carry = jax.lax.fori_loop(1, cfg.max_depth, bounce, carry)
+    return carry[1].radiance

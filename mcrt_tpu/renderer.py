@@ -102,7 +102,6 @@ def render_sample(
             scene, rays, stream, cfg.integrator,
             intersector.intersect, intersector.occluded,
             diff=diff,
-            intersect_fused=getattr(intersector, "intersect_fused", None),
         )
     else:
         from .integrators import bdpt as bdpt_integrator

@@ -73,6 +73,12 @@ button { margin:2px; } input { width: 56px; }
  <button onclick="light()">apply</button>
 </div>
 <div>
+ shape <input id="sid" value="0"> move
+ <input id="sx" value="0"> <input id="sy" value="0"> <input id="sz" value="0">
+ rotY <input id="sry" value=""> scale <input id="ss" value="">
+ <button onclick="xform()">apply</button>
+</div>
+<div>
  scene <select id="scene"></select>
  <button onclick="loadScene()">load</button>
  <span id="stats"></span>
@@ -122,6 +128,12 @@ function light() {
 function loadScene() {
   fetch('/api/scene?name=' + document.getElementById('scene').value);
 }
+function xform() {
+  const v = id => document.getElementById(id).value;
+  const q = new URLSearchParams({shape: v('sid'), x: v('sx'), y: v('sy'),
+    z: v('sz'), ry: v('sry'), s: v('ss')});
+  fetch('/api/transform?' + q);
+}
 </script></body></html>
 """
 
@@ -144,6 +156,8 @@ class ProgressiveViewer:
         self._scene_name = scene_name
         self._render_time = 0.0  # wall seconds spent rendering samples
         self._rate = 0.0  # samples/sec (progressive throughput)
+        self._animator = None  # lazy SceneAnimator for baked-shape moves
+        self._transforms = None
         # orbit state: pivot at the scene center (the editor's entity-frame
         # orbit), eye from the current camera
         self._pivot = np.asarray(renderer.scene.center, np.float32)
@@ -188,6 +202,17 @@ class ProgressiveViewer:
             if q.get("roughness"):
                 kw["roughness"] = float(q["roughness"])
             self.enqueue_material(int(q.get("id", 0)), **kw)
+            self._send(req, 200, b"{}", "application/json")
+        elif url.path == "/api/transform":
+            kw = {}
+            if all(q.get(k) for k in ("x", "y", "z")):
+                kw["translate"] = (float(q["x"]), float(q["y"]),
+                                   float(q["z"]))
+            if q.get("ry"):
+                kw["rotate_y"] = float(q["ry"])
+            if q.get("s"):
+                kw["scale"] = float(q["s"])
+            self.enqueue_transform(int(q.get("shape", 0)), **kw)
             self._send(req, 200, b"{}", "application/json")
         elif url.path == "/api/light":
             kw = {}
@@ -274,6 +299,10 @@ class ProgressiveViewer:
         with self._edit_lock:
             self._edits.append(("light", (light_id, kw)))
 
+    def enqueue_transform(self, shape_id: int, **kw):
+        with self._edit_lock:
+            self._edits.append(("transform", (shape_id, kw)))
+
     def enqueue_scene(self, name: str):
         with self._edit_lock:
             self._edits.append(("scene", name))
@@ -343,6 +372,45 @@ class ProgressiveViewer:
                 # reset only (RTScene.cpp:356-391 light update path)
                 self.renderer.update_scene(scene.replace(lights=lights),
                                            rebuild_accel=False)
+            elif kind == "transform":
+                shape_id, kw = payload
+                from .scene.dynamic import (
+                    SceneAnimator, rotation_y, scale as mk_scale,
+                    set_shape_transform, translation,
+                )
+
+                m = translation(kw.get("translate", (0.0, 0.0, 0.0)))
+                if "rotate_y" in kw:
+                    m = m @ rotation_y(kw["rotate_y"])
+                if "scale" in kw:
+                    m = m @ mk_scale(kw["scale"])
+                scene = self.renderer.scene
+                inst_shapes = (set(np.asarray(scene.instances.shape).tolist())
+                               if scene.instances is not None else set())
+                if shape_id in inst_shapes:
+                    # instanced shape: pure transform edit; update_scene
+                    # takes the in-jit two-level refit (no rebuild)
+                    self.renderer.update_scene(
+                        set_shape_transform(scene, shape_id, m))
+                else:
+                    # baked shape: re-transform vertices from the pristine
+                    # base snapshot, carrying forward material/light edits
+                    # made since (entity move in the editor,
+                    # PathTracingGUI.cpp:106-118 -> RTScene.cpp:317-359)
+                    if self._animator is None:
+                        self._animator = SceneAnimator.create(scene)
+                        self._transforms = self._animator.identity_transforms()
+                    self._transforms[shape_id] = m
+                    out = self._animator.transformed(
+                        np.asarray(self._transforms))
+                    out = out.replace(
+                        materials=scene.materials,
+                        lights=out.lights.replace(
+                            intensity=scene.lights.intensity,
+                            position=scene.lights.position,
+                        ),
+                    )
+                    self.renderer.update_scene(out)
             elif kind == "scene":
                 from .renderer import Renderer
                 from .scene import builders
@@ -353,6 +421,8 @@ class ProgressiveViewer:
                 self._pivot = np.asarray(scene.center, np.float32)
                 self._eye = np.asarray(camera.position, np.float32)
                 self._render_time = 0.0
+                self._animator = None
+                self._transforms = None
         return bool(edits)
 
     # ---- loop ----------------------------------------------------------

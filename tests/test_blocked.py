@@ -93,57 +93,6 @@ def test_segment_tmax_respected(cornell):
     assert not bool(occluded_blocked(scene.geometry, acc, short).any())
 
 
-@pytest.mark.parametrize("n", [100, 1000])
-def test_fused_anyhit_lanes_match_occluded(cornell, n):
-    """Mixed wavefront: closest-hit lanes must be unaffected by the presence
-    of any-hit lanes, and any-hit lanes' ``valid`` must equal the dedicated
-    occlusion query (the fused-shadow-ray contract used by the path
-    integrator)."""
-    scene, acc = cornell
-    rays = random_rays(scene, n, seed=2000 + n)
-    anyhit = jnp.asarray(np.random.RandomState(n).rand(n) < 0.5)
-    hf = intersect_blocked(scene.geometry, acc, rays, anyhit=anyhit)
-    hc = intersect_blocked(scene.geometry, acc, rays)
-    oc = occluded_blocked(scene.geometry, acc, rays)
-    closest = ~anyhit
-    assert bool((hf.valid == jnp.where(anyhit, oc, hc.valid)).all())
-    tb = jnp.where(closest & hc.valid, hc.t, 0.0)
-    tf = jnp.where(closest & hf.valid, hf.t, 0.0)
-    assert bool(jnp.allclose(tb, tf, rtol=1e-5, atol=1e-6))
-
-
-def test_fused_integrator_matches_separate_queries(cornell):
-    """End-to-end: the path integrator's fused shadow-ray mode (one
-    closest+any-hit dispatch per bounce) must produce the same image as the
-    two-query-per-bounce mode — same sample streams, same scene."""
-    import functools
-    import jax
-    from mcrt_tpu.camera.pinhole import pixel_uv
-    from mcrt_tpu.config import IntegratorConfig, SamplerConfig
-    from mcrt_tpu.integrators import path as path_integrator
-    from mcrt_tpu.sampling import rng
-    from mcrt_tpu.scene.builders import cornell_box
-
-    scene, camera = cornell_box()
-    acc = cornell[1]
-    w = h = 24
-    uv = pixel_uv(w, h)
-    o, d = camera.generate_rays(uv)
-    rays = Rays.make(o, d)
-    stream = rng.make_stream(SamplerConfig(), jnp.asarray(0),
-                             jnp.arange(w * h))
-    cfg = IntegratorConfig(max_depth=3, fuse_shadow_rays=True)
-    intersect = lambda s, r: intersect_blocked(s.geometry, acc, r)
-    occluded = lambda s, r: occluded_blocked(s.geometry, acc, r)
-    fused = lambda s, r, ah: intersect_blocked(s.geometry, acc, r, anyhit=ah)
-    kw = dict(cfg=cfg, intersect=intersect, occluded=occluded)
-    img_sep = path_integrator.trace(scene, rays, stream, **kw)
-    img_fused = path_integrator.trace(scene, rays, stream,
-                                      intersect_fused=fused, **kw)
-    np.testing.assert_allclose(np.asarray(img_sep), np.asarray(img_fused),
-                               rtol=1e-4, atol=1e-5)
-
-
 def test_multichunk_visit_list_conformance():
     """A >128-block scene exercises the 2-level cull (chunk-union gating),
     the quantized front-to-back sort and the DMA visit-list traversal —

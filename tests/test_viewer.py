@@ -127,3 +127,21 @@ def test_scene_switcher(viewer):
     import urllib.error
     with pytest.raises(urllib.error.HTTPError):
         _get(viewer, "/api/scene?name=does_not_exist")
+
+
+def test_transform_edit_moves_entity(viewer):
+    """Entity move through the viewer (the editor's pick-and-move,
+    ``PathTracingGUI.cpp:106-118``): geometry changes, accumulation
+    resets, and material edits made earlier survive the re-transform."""
+    viewer.enqueue_material(0, diffuse=(0.9, 0.1, 0.1))
+    viewer._apply_edits()
+    p_before = np.asarray(viewer.renderer.scene.geometry.positions).copy()
+    viewer.enqueue_transform(5, translate=(0.3, 0.0, 0.0))  # tall box
+    viewer._apply_edits()
+    assert int(viewer.renderer.accum.frame) == 0
+    p_after = np.asarray(viewer.renderer.scene.geometry.positions)
+    assert np.abs(p_after - p_before).max() > 0.25  # it moved
+    np.testing.assert_allclose(  # material edit carried forward
+        np.asarray(viewer.renderer.scene.materials.diffuse[0]),
+        (0.9, 0.1, 0.1))
+    viewer.renderer.step(1)  # still renders
