@@ -389,7 +389,7 @@ def _closest2_kernel(count_ref, code_ref, w2o_ref, rays_ref, list_ref,
     row = i % 8
     cnt = count_ref[i]
     rt = rays_ref[:]
-    ox, oy, oz, dx, dy, dz, _, _, _, tmn, tmx, _ = _ray_rows(rt)
+    ox, oy, oz, dx, dy, dz, _, _, _, tmn, tmx = _ray_rows(rt)
     ppad = list_ref.shape[1]
     decode, get_dma = _pair_dma(row, list_ref, code_ref, tri_hbm,
                                 scratch, sems)
@@ -449,7 +449,7 @@ def _occluded2_kernel(count_ref, code_ref, w2o_ref, rays_ref, list_ref,
     row = i % 8
     cnt = count_ref[i]
     rt = rays_ref[:]
-    ox, oy, oz, dx, dy, dz, _, _, _, tmn, tmx, _ = _ray_rows(rt)
+    ox, oy, oz, dx, dy, dz, _, _, _, tmn, tmx = _ray_rows(rt)
     live0 = tmx > tmn
     out_ref[:] = jnp.zeros((1, TILE), jnp.float32)
     decode, get_dma = _pair_dma(row, list_ref, code_ref, tri_hbm,

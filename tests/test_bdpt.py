@@ -194,3 +194,18 @@ def test_bdpt_directional_light_subpaths():
     assert np.isfinite(b).all()
     assert rel < 0.05, rel
     assert abs(a.mean() - b.mean()) / a.mean() < 0.03
+
+
+def test_bdpt_occlusion_chunking_equivalence(cornell, monkeypatch):
+    """The chunked batched-visibility path (ADVICE r4: cap rays per
+    occlusion query) must be bit-equivalent to the single-batch path."""
+    scene, camera = cornell
+    cfg = IntegratorConfig(max_depth=3)
+    uv = pixel_uv(W, W)
+    o, d = camera.generate_rays(uv)
+    rays = Rays.make(o, d)
+    st = rng.make_stream(SamplerConfig(), jnp.asarray(0), jnp.arange(N))
+    one = jax.jit(lambda s: bdpt.trace(s, camera, rays, st, cfg, ISECT, OCCL))(scene)
+    monkeypatch.setattr(bdpt, "OCC_CHUNK_RAYS", 2 * N)  # ~2 strategies/chunk
+    many = jax.jit(lambda s: bdpt.trace(s, camera, rays, st, cfg, ISECT, OCCL))(scene)
+    np.testing.assert_allclose(np.asarray(one), np.asarray(many), atol=1e-6)

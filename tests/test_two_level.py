@@ -305,3 +305,32 @@ def test_instanced_transform_edit_refits_through_renderer(monkeypatch):
     np.testing.assert_allclose(img_refit, img_rebuild, atol=1e-5)
     _, img_orig = _render(si, cam, AccelType.AUTO, w=24, spp=2)
     assert np.abs(img_refit - img_orig).max() > 1e-3  # edit visible
+
+
+def test_instanced_scene_gradients_flow():
+    """Inverse rendering works on instanced scenes: material gradients flow
+    through the two-level query's zero-cotangent custom_vjp and the
+    per-shape transform applied at vertex fetch."""
+    import jax
+    import jax.numpy as jnp
+
+    from mcrt_tpu import RenderConfig, Renderer
+    from mcrt_tpu.config import IntegratorConfig
+    from mcrt_tpu.accel import build_intersector
+    from mcrt_tpu.renderer import render_sample
+    from mcrt_tpu.scene.builders import instanced_boxes
+
+    scene, camera = instanced_boxes(2)
+    cfg = RenderConfig(width=16, height=16, spp=1,
+                       integrator=IntegratorConfig(max_depth=2))
+    intersector = build_intersector(scene, cfg)
+
+    def loss(diffuse):
+        s = scene.replace(materials=scene.materials.replace(diffuse=diffuse))
+        img, _ = render_sample(s, camera, jnp.asarray(0, jnp.int32), cfg,
+                               intersector)
+        return jnp.sum(img)
+
+    g = jax.jit(jax.grad(loss))(scene.materials.diffuse)
+    assert bool(jnp.isfinite(g).all())
+    assert float(jnp.abs(g).sum()) > 0
