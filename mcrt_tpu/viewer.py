@@ -203,6 +203,9 @@ class ProgressiveViewer:
                 kw["roughness"] = float(q["roughness"])
             self.enqueue_material(int(q.get("id", 0)), **kw)
             self._send(req, 200, b"{}", "application/json")
+        elif url.path == "/api/pick":
+            sel = self.pick(float(q.get("u", 0.5)), float(q.get("v", 0.5)))
+            self._send(req, 200, json.dumps(sel).encode(), "application/json")
         elif url.path == "/api/transform":
             kw = {}
             if all(q.get(k) for k in ("x", "y", "z")):
@@ -284,6 +287,36 @@ class ProgressiveViewer:
             "scene_bytes": _nbytes(r.scene),
             "device_bytes_in_use": int(dev.get("bytes_in_use", 0)),
             "device_bytes_limit": int(dev.get("bytes_limit", 0)),
+        }
+
+    def pick(self, u: float, v: float) -> dict:
+        """Entity picking (the editor's ``EntityPicker``,
+        ``engine/util/ECSUtil``): cast the camera ray through film (u, v)
+        and report the hit shape + its material/light ids, so transform and
+        material edits can target what the user clicked."""
+        import jax.numpy as jnp
+
+        from .core.types import Rays
+
+        r = self.renderer
+        o, d = r.camera.generate_rays(jnp.asarray([[u, v]], jnp.float32))
+        # the production intersectors expect padded wavefronts; a 1-ray
+        # query is fine (they pad internally)
+        hit = r.intersector.intersect(r.scene, Rays.make(o, d))
+        if not bool(hit.valid[0]):
+            return {"hit": False}
+        shape = int(hit.shape[0])
+        scene = r.scene
+        return {
+            "hit": True,
+            "shape": shape,
+            "prim": int(hit.prim[0]),
+            "t": float(hit.t[0]),
+            "material": int(scene.shapes.material[shape]),
+            "light": int(scene.shapes.light[shape]),
+            "instanced": bool(
+                scene.instances is not None
+                and shape in np.asarray(scene.instances.shape).tolist()),
         }
 
     # ---- edits (enqueued by HTTP threads, applied by the render loop) --

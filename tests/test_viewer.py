@@ -145,3 +145,15 @@ def test_transform_edit_moves_entity(viewer):
         np.asarray(viewer.renderer.scene.materials.diffuse[0]),
         (0.9, 0.1, 0.1))
     viewer.renderer.step(1)  # still renders
+
+
+def test_pick_entity(viewer):
+    """Entity picking: the center of the cornell view hits a box or wall and
+    reports its shape + material; picking the sky misses."""
+    sel = viewer.pick(0.5, 0.4)
+    assert sel["hit"] is True
+    assert 0 <= sel["shape"] <= 7
+    assert sel["material"] >= 0
+    assert sel["t"] > 0
+    code, body = _get(viewer, "/api/pick?u=0.5&v=0.4")
+    assert code == 200 and json.loads(body)["hit"] is True
