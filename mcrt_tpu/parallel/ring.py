@@ -390,6 +390,11 @@ def build_sharded_scene(scene, mesh: Mesh, use_blocked: bool = True):
     (sharded_scene, ring_intersector) — the San-Miguel-scale path
     (BASELINE config 4).  ``use_blocked`` selects the production Pallas
     accel per shard; ``False`` keeps the O(N) brute oracle (tests)."""
+    if scene.instances is not None:
+        raise ValueError(
+            "scene sharding does not support instanced scenes yet: shard "
+            "faces reference world-space geometry; bake instances "
+            "(SceneBuffers.add_instance) before sharding")
     n_shards = mesh.shape[RAYS_AXIS]
     geom, face_map = shard_faces(scene.geometry, n_shards,
                                  return_face_map=True)
