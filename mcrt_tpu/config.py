@@ -115,6 +115,10 @@ class IntegratorConfig:
     # improvement over reference: MIS-weighted NEE (reference uses plain NEE
     # with emitter hits counted only on bounce 0 / after specular)
     use_mis: bool = False
+    # improvement over reference: PBRT-style Russian roulette from this
+    # bounce on (0 = off, matching the reference's fixed-depth termination).
+    # Unbiased: survivors reweight by 1/q with q = max throughput component
+    rr_start_depth: int = 0
 
 
 @dataclass(frozen=True)

@@ -111,6 +111,18 @@ def _shade(scene, cfg, i, rays, hit, tp, stream, prev_pdf, prev_p,
     new_beta = tp.beta * beta_mul
     extend = alive & bs.valid & ~m.is_black(new_beta)
 
+    if cfg.rr_start_depth > 0:
+        # Russian roulette (improvement over the reference's fixed-depth
+        # cut, PBRT-style): from rr_start_depth on, continue with
+        # probability q = clamp(max beta component) and reweight by 1/q —
+        # unbiased path termination that thins deep wavefronts
+        u_rr, stream = rng.next_1d(stream)
+        q = jnp.clip(jnp.max(new_beta, axis=-1), 0.05, 1.0)
+        apply_rr = i >= cfg.rr_start_depth
+        survive = jnp.where(apply_rr, u_rr < q, True)
+        new_beta = jnp.where(apply_rr, new_beta / q[..., None], new_beta)
+        extend = extend & survive
+
     new_rays = spawn_ray(it, wi_w, cfg.trace_offset, cfg.max_trace_distance, extend)
     tp = Throughput(
         beta=jnp.where(extend[..., None], new_beta, tp.beta),

@@ -104,3 +104,44 @@ def test_no_lights_renders_black():
                        accel=AccelType.BRUTE)
     img = np.asarray(Renderer(scene, cam, cfg).render())
     assert (img == 0).all()
+
+
+def test_russian_roulette_unbiased():
+    """RR-terminated rendering converges to the same image as fixed-depth
+    termination (improvement over the reference; PBRT-style 1/q reweight)."""
+    import jax
+    import jax.lax as lax
+
+    from mcrt_tpu.accel.brute import intersect_brute, occluded_brute
+    from mcrt_tpu.camera.pinhole import pixel_uv
+    from mcrt_tpu.config import IntegratorConfig, SamplerConfig
+    from mcrt_tpu.core.types import Rays
+    from mcrt_tpu.integrators import path as pt
+    from mcrt_tpu.sampling import rng as rng_mod
+    from mcrt_tpu.scene.builders import cornell_box
+
+    scene, camera = cornell_box()
+    w = 16
+    n = w * w
+    uv = pixel_uv(w, w)
+    o, d = camera.generate_rays(uv)
+    rays = Rays.make(o, d)
+    isect = lambda s, r: intersect_brute(s.geometry, r)
+    occl = lambda s, r: occluded_brute(s.geometry, r)
+
+    def converged(cfg, spp=1024):
+        @jax.jit
+        def run(s0):
+            def body(i, acc):
+                st = rng_mod.make_stream(SamplerConfig(), s0 + i,
+                                         jnp.arange(n))
+                return acc + pt.trace(scene, rays, st, cfg, isect, occl)
+            return lax.fori_loop(0, spp, body, jnp.zeros((n, 3)))
+        return np.asarray(run(jnp.asarray(0))) / spp
+
+    a = converged(IntegratorConfig(max_depth=5))
+    b = converged(IntegratorConfig(max_depth=5, rr_start_depth=2))
+    mask = a.max(-1) < 5.0  # exclude the emitter pixels
+    rel = np.abs(a - b)[mask].mean() / a[mask].mean()
+    assert rel < 0.05, rel
+    assert abs(a.mean() - b.mean()) / a.mean() < 0.02
