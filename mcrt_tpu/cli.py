@@ -57,7 +57,8 @@ def _load_scene(args):
     if maker is None:
         sys.exit(f"unknown scene {args.scene!r}; use cornell_box / "
                  f"bunny_field / textured_hall / glass_gallery / "
-                 f"heavy_gallery or --obj FILE")
+                 f"heavy_gallery / instanced_boxes / bunny_field_instanced "
+                 f"or --obj FILE")
     return maker()
 
 
