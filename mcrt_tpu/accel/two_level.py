@@ -45,9 +45,9 @@ from jax.experimental.pallas import tpu as pltpu
 from ..core.types import Hit, Rays
 from ..scene.scene import Geometry
 from .pallas_blocked import (
-    BIG, BLOCK, TILE, BlockedAccel, _coherence_order, _interpret, _mt_block,
-    _pack_table, _ray_rows, _ray_table, _visit_lists, build_blocked,
-    intersect_blocked, occluded_blocked,
+    BIG, BLOCK, GROUP, TILE, BlockedAccel, _coherence_order, _interpret,
+    _mt_block, _pack_table, _ray_rows, _ray_table, _visit_lists,
+    build_blocked, intersect_blocked, occluded_blocked,
 )
 
 F32_MAX = float(jnp.finfo(jnp.float32).max)
@@ -60,7 +60,8 @@ class TwoLevelAccel(struct.PyTreeNode):
 
     blas: BlockedAccel  # object-space blocked accel of the shared mesh
     world_to_object: jax.Array  # (I, 4, 4)
-    w2o_rows: jax.Array  # (I*12,) flattened row-major 3x4 (SMEM prefetch)
+    tw_rows: jax.Array  # (I*12,) to_world row-major 3x4 (SMEM prefetch:
+    #   the kernels transform DMA'd triangle blocks into world space)
     shape_id: jax.Array  # (I,) i32 shape id reported for hits
     pair_aabb: jax.Array  # (Ppad, 8) world AABB per (instance, block) pair
     pair_chunk: jax.Array  # (Ppad//128, 8) cull-chunk union boxes
@@ -111,12 +112,11 @@ def build_two_level(source: Geometry, to_world: np.ndarray,
 
     from .pallas_blocked import _chunk_bounds
 
-    w2o_rows = w2o[:, :3, :4].reshape(-1)  # (I*12,)
     bounds = np.stack([plo.min(0), phi.max(0)]).astype(np.float32)
     return TwoLevelAccel(
         blas=blas,
         world_to_object=jnp.asarray(w2o),
-        w2o_rows=jnp.asarray(w2o_rows),
+        tw_rows=jnp.asarray(tw[:, :3, :4].reshape(-1)),
         shape_id=jnp.asarray(np.asarray(shape_ids, np.int32)),
         pair_aabb=jnp.asarray(pair_aabb),
         pair_chunk=jnp.asarray(_chunk_bounds(pair_aabb)),
@@ -256,7 +256,7 @@ def build_two_level_scene(geom: Geometry, shape_to_world, instances,
     return TwoLevelAccel(
         blas=merged,
         world_to_object=jnp.asarray(w2o),
-        w2o_rows=jnp.asarray(w2o[:, :3, :4].reshape(-1)),
+        tw_rows=jnp.asarray(tw_inst[:, :3, :4].reshape(-1)),
         shape_id=jnp.asarray(np.asarray(inst_sid, np.int32)),
         pair_aabb=jnp.asarray(pair_aabb),
         pair_chunk=jnp.asarray(_chunk_bounds(pair_aabb)),
@@ -325,7 +325,7 @@ def refit_two_level(accel: TwoLevelAccel,
     vhi = jnp.max(jnp.where(valid[:, None], phi, -BIG), axis=0)
     return accel.replace(
         world_to_object=w2o,
-        w2o_rows=w2o[:, :3, :4].reshape(-1),
+        tw_rows=tw[:, :3, :4].reshape(-1),
         pair_aabb=pair_aabb,
         pair_chunk=chunk,
         bounds=jnp.stack([vlo, vhi]),
@@ -341,48 +341,82 @@ def _transform_rays(rays: Rays, m: jax.Array) -> Rays:
 
 
 # --------------------------------------------------------------------------
-# Pair-list traversal kernels: like the flat _closest/_occluded kernels but
-# per visit the ray tile is transformed by the visit's instance matrix.
-# GROUP=1 (each visit may use a different instance transform).
+# Pair-list traversal kernels: like the flat _closest/_occluded kernels, but
+# per visit the DMA'd block's TRIANGLES are transformed to WORLD space by the
+# visit instance's to_world (p0' = R p0 + t; e1' = R e1; e2' = R e2 — affine
+# and linear in the stored p0/e1/e2 rows, ~8k flops per 128-tri block next to
+# the ~1.3M-flop MT test), so GROUP blocks from DIFFERENT instances batch
+# into one dense (GROUP*BLOCK, T) MT against the untransformed world rays —
+# the flat kernel's exact DMA/test shape.  (The v2 kernels transformed the
+# RAY tile into object space per visit instead, which forced GROUP=1 DMAs
+# and one small MT per visit — measured 1.8x slower than the flat kernel at
+# equal scene content.)
 # --------------------------------------------------------------------------
 
 
-def _pair_dma(row, list_ref, code_ref, tri_hbm, scratch, sems):
+def _pair_group_helpers(row, list_ref, code_ref, tri_hbm, scratch, sems):
     ppad = list_ref.shape[1]
     nt_blocks = tri_hbm.shape[1] // BLOCK
 
-    def decode(k):
-        pair = list_ref[row, jnp.minimum(k, ppad - 1)]
+    def decode(k, g):
+        # entries past cnt hold non-entered-but-VALID pair codes (the pair
+        # table only ever pairs a block with an instance of its own BLAS),
+        # so a partial final group redundantly tests real world geometry —
+        # harmless, exactly like the flat kernel's trailing entries
+        pair = list_ref[row, jnp.minimum(k * GROUP + g, ppad - 1)]
         code = code_ref[pair]
         b = jnp.minimum(code >> INST_BITS, nt_blocks - 1)
         inst = code & (MAX_INSTANCES - 1)
         return b, inst
 
-    def get_dma(slot, k):
-        b, _ = decode(k)
+    def get_dma(slot, k, g):
+        b, _ = decode(k, g)
         start = pl.multiple_of(b * BLOCK, BLOCK)
         return pltpu.make_async_copy(
             tri_hbm.at[:, pl.ds(start, BLOCK)],
-            scratch.at[slot],
-            sems.at[slot],
+            scratch.at[slot, :, pl.ds(g * BLOCK, BLOCK)],
+            sems.at[slot, g],
         )
 
-    return decode, get_dma
+    def start_group(slot, k):
+        for g in range(GROUP):
+            get_dma(slot, k, g).start()
+
+    def wait_group(slot, k):
+        for g in range(GROUP):
+            get_dma(slot, k, g).wait()
+
+    return decode, start_group, wait_group
 
 
-def _xform_tile(w2o_ref, inst, ox, oy, oz, dx, dy, dz):
-    base = inst * 12
-    m = [w2o_ref[base + j] for j in range(12)]
-    tox = m[0] * ox + m[1] * oy + m[2] * oz + m[3]
-    toy = m[4] * ox + m[5] * oy + m[6] * oz + m[7]
-    toz = m[8] * ox + m[9] * oy + m[10] * oz + m[11]
-    tdx = m[0] * dx + m[1] * dy + m[2] * dz
-    tdy = m[4] * dx + m[5] * dy + m[6] * dz
-    tdz = m[8] * dx + m[9] * dy + m[10] * dz
-    return tox, toy, toz, tdx, tdy, tdz
+def _world_rows(scratch_slot, decode, tw_ref, k):
+    """(GROUP*BLOCK, 9) world-space triangle rows: per sub-block, the visit
+    instance's to_world applied to the object-space p0/e1/e2 components.
+    Unfilled slots (p0=e1=e2=0) map to degenerate triangles (det 0)."""
+    parts = []
+    for g in range(GROUP):
+        _, inst = decode(k, g)
+        base = inst * 12
+        m = [tw_ref[base + j] for j in range(12)]
+        seg = scratch_slot[0:9, g * BLOCK:(g + 1) * BLOCK]  # (9, BLOCK)
+        p0x, p0y, p0z = seg[0:1], seg[1:2], seg[2:3]
+        e1x, e1y, e1z = seg[3:4], seg[4:5], seg[5:6]
+        e2x, e2y, e2z = seg[6:7], seg[7:8], seg[8:9]
+        parts.append(jnp.concatenate([
+            m[0] * p0x + m[1] * p0y + m[2] * p0z + m[3],
+            m[4] * p0x + m[5] * p0y + m[6] * p0z + m[7],
+            m[8] * p0x + m[9] * p0y + m[10] * p0z + m[11],
+            m[0] * e1x + m[1] * e1y + m[2] * e1z,
+            m[4] * e1x + m[5] * e1y + m[6] * e1z,
+            m[8] * e1x + m[9] * e1y + m[10] * e1z,
+            m[0] * e2x + m[1] * e2y + m[2] * e2z,
+            m[4] * e2x + m[5] * e2y + m[6] * e2z,
+            m[8] * e2x + m[9] * e2y + m[10] * e2z,
+        ], axis=0))  # (9, BLOCK)
+    return jnp.concatenate(parts, axis=1).T  # (GROUP*BLOCK, 9)
 
 
-def _closest2_kernel(count_ref, code_ref, w2o_ref, rays_ref, list_ref,
+def _closest2_kernel(count_ref, code_ref, tw_ref, rays_ref, list_ref,
                      tn_ref, tri_hbm, t_ref, slot_ref, inst_ref,
                      scratch, sems):
     i = pl.program_id(0)
@@ -391,8 +425,9 @@ def _closest2_kernel(count_ref, code_ref, w2o_ref, rays_ref, list_ref,
     rt = rays_ref[:]
     ox, oy, oz, dx, dy, dz, _, _, _, tmn, tmx = _ray_rows(rt)
     ppad = list_ref.shape[1]
-    decode, get_dma = _pair_dma(row, list_ref, code_ref, tri_hbm,
-                                scratch, sems)
+    decode, start_group, wait_group = _pair_group_helpers(
+        row, list_ref, code_ref, tri_hbm, scratch, sems)
+    groups = (cnt + GROUP - 1) // GROUP
 
     t_ref[:] = jnp.full((1, TILE), BIG, jnp.float32)
     slot_ref[:] = jnp.full((1, TILE), -1, jnp.int32)
@@ -400,34 +435,40 @@ def _closest2_kernel(count_ref, code_ref, w2o_ref, rays_ref, list_ref,
 
     @pl.when(cnt > 0)
     def _():
-        get_dma(0, 0).start()
+        start_group(0, 0)
 
         def cond(state):
             k, best_t, _, _ = state
             t_exit = jnp.max(jnp.minimum(best_t, tmx))
-            kk = jnp.minimum(k, ppad - 1)
-            return (k < cnt) & (tn_ref[row, kk] <= t_exit)
+            kk = jnp.minimum(k * GROUP, ppad - 1)
+            return (k < groups) & (tn_ref[row, kk] <= t_exit)
 
         def body(state):
             k, best_t, best_slot, best_inst = state
 
-            @pl.when(k + 1 < cnt)
+            @pl.when(k + 1 < groups)
             def _():
-                get_dma((k + 1) % 2, k + 1).start()
+                start_group((k + 1) % 2, k + 1)
 
-            get_dma(k % 2, k).wait()
-            b, inst = decode(k)
-            tox, toy, toz, tdx, tdy, tdz = _xform_tile(
-                w2o_ref, inst, ox, oy, oz, dx, dy, dz)
-            rows = scratch[k % 2, 0:9].T  # (BLOCK, 9)
-            t, _, _, hit = _mt_block(rows, tox, toy, toz, tdx, tdy, tdz,
+            wait_group(k % 2, k)
+            rows = _world_rows(scratch[k % 2], decode, tw_ref, k)
+            t, _, _, hit = _mt_block(rows, ox, oy, oz, dx, dy, dz,
                                      tmn, tmx, best_t)
             tm = jnp.where(hit, t, BIG)
             tnew = jnp.min(tm, axis=0, keepdims=True)
             j = jnp.argmin(tm, axis=0)[None, :].astype(jnp.int32)
+            # resolve the winning row's (block, instance) from group entries
+            base_b, base_i = decode(k, GROUP - 1)
+            for g in reversed(range(GROUP - 1)):
+                b_g, i_g = decode(k, g)
+                in_g = j < (g + 1) * BLOCK
+                base_b = jnp.where(in_g, b_g, base_b)
+                base_i = jnp.where(in_g, i_g, base_i)
             better = tnew < best_t
-            best_slot = jnp.where(better, b * BLOCK + j, best_slot)
-            best_inst = jnp.where(better, inst, best_inst)
+            best_slot = jnp.where(better,
+                                  base_b * BLOCK + (j & (BLOCK - 1)),
+                                  best_slot)
+            best_inst = jnp.where(better, base_i, best_inst)
             best_t = jnp.where(better, tnew, best_t)
             return k + 1, best_t, best_slot, best_inst
 
@@ -438,12 +479,12 @@ def _closest2_kernel(count_ref, code_ref, w2o_ref, rays_ref, list_ref,
         slot_ref[:] = bs
         inst_ref[:] = bi
 
-        @pl.when(k < cnt)
+        @pl.when(k < groups)
         def _():
-            get_dma(k % 2, k).wait()
+            wait_group(k % 2, k)
 
 
-def _occluded2_kernel(count_ref, code_ref, w2o_ref, rays_ref, list_ref,
+def _occluded2_kernel(count_ref, code_ref, tw_ref, rays_ref, list_ref,
                       tri_hbm, out_ref, scratch, sems):
     i = pl.program_id(0)
     row = i % 8
@@ -452,31 +493,29 @@ def _occluded2_kernel(count_ref, code_ref, w2o_ref, rays_ref, list_ref,
     ox, oy, oz, dx, dy, dz, _, _, _, tmn, tmx = _ray_rows(rt)
     live0 = tmx > tmn
     out_ref[:] = jnp.zeros((1, TILE), jnp.float32)
-    decode, get_dma = _pair_dma(row, list_ref, code_ref, tri_hbm,
-                                scratch, sems)
+    decode, start_group, wait_group = _pair_group_helpers(
+        row, list_ref, code_ref, tri_hbm, scratch, sems)
+    groups = (cnt + GROUP - 1) // GROUP
 
     @pl.when(cnt > 0)
     def _():
-        get_dma(0, 0).start()
+        start_group(0, 0)
 
         def cond(state):
             k, blocked = state
-            return (k < cnt) & jnp.any(live0 & (blocked == 0.0))
+            return (k < groups) & jnp.any(live0 & (blocked == 0.0))
 
         def body(state):
             k, blocked = state
 
-            @pl.when(k + 1 < cnt)
+            @pl.when(k + 1 < groups)
             def _():
-                get_dma((k + 1) % 2, k + 1).start()
+                start_group((k + 1) % 2, k + 1)
 
-            get_dma(k % 2, k).wait()
-            b, inst = decode(k)
-            tox, toy, toz, tdx, tdy, tdz = _xform_tile(
-                w2o_ref, inst, ox, oy, oz, dx, dy, dz)
-            rows = scratch[k % 2, 0:9].T
+            wait_group(k % 2, k)
+            rows = _world_rows(scratch[k % 2], decode, tw_ref, k)
             _, _, _, hit = _mt_block(
-                rows, tox, toy, toz, tdx, tdy, tdz, tmn, tmx,
+                rows, ox, oy, oz, dx, dy, dz, tmn, tmx,
                 jnp.where(blocked > 0.0, -BIG, BIG))
             any_hit = jnp.max(hit.astype(jnp.float32), axis=0, keepdims=True)
             return k + 1, jnp.maximum(blocked, any_hit)
@@ -484,14 +523,14 @@ def _occluded2_kernel(count_ref, code_ref, w2o_ref, rays_ref, list_ref,
         k, blocked = jax.lax.while_loop(cond, body, (jnp.int32(0), out_ref[:]))
         out_ref[:] = blocked
 
-        @pl.when(k < cnt)
+        @pl.when(k < groups)
         def _():
-            get_dma(k % 2, k).wait()
+            wait_group(k % 2, k)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(6,))
 def _query2_closest(rays_packed, tri, pair_aabb, pair_chunk, pair_code,
-                    w2o_rows, num_pairs):
+                    tw_rows, num_pairs):
     interpret = _interpret()
     counts, lists, tn_sorted = _visit_lists(rays_packed, pair_chunk,
                                             pair_aabb, interpret)
@@ -519,8 +558,8 @@ def _query2_closest(rays_packed, tri, pair_aabb, pair_chunk, pair_code,
                          memory_space=pltpu.VMEM),
         ] * 3,
         scratch_shapes=[
-            pltpu.VMEM((2, 16, BLOCK), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((2, 16, GROUP * BLOCK), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, GROUP)),
         ],
     )
     t, slot, inst = pl.pallas_call(
@@ -536,7 +575,7 @@ def _query2_closest(rays_packed, tri, pair_aabb, pair_chunk, pair_code,
             vmem_limit_bytes=96 * 2**20,
         ),
         interpret=interpret,
-    )(counts, pair_code, w2o_rows, rays_packed, lists, tn_sorted, tri)
+    )(counts, pair_code, tw_rows, rays_packed, lists, tn_sorted, tri)
     return t, slot, inst
 
 
@@ -549,7 +588,7 @@ _query2_closest.defvjp(
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(6,))
 def _query2_any(rays_packed, tri, pair_aabb, pair_chunk, pair_code,
-                w2o_rows, num_pairs):
+                tw_rows, num_pairs):
     interpret = _interpret()
     counts, lists, _ = _visit_lists(rays_packed, pair_chunk, pair_aabb,
                                     interpret)
@@ -572,8 +611,8 @@ def _query2_any(rays_packed, tri, pair_aabb, pair_chunk, pair_code,
         out_specs=pl.BlockSpec((1, TILE), lambda i, c, pc, w: (0, i),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((2, 16, BLOCK), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((2, 16, GROUP * BLOCK), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, GROUP)),
         ],
     )
     out = pl.pallas_call(
@@ -585,7 +624,7 @@ def _query2_any(rays_packed, tri, pair_aabb, pair_chunk, pair_code,
             vmem_limit_bytes=96 * 2**20,
         ),
         interpret=interpret,
-    )(counts, pair_code, w2o_rows, rays_packed, lists, tri)
+    )(counts, pair_code, tw_rows, rays_packed, lists, tri)
     return out
 
 
@@ -630,7 +669,7 @@ def intersect_two_level(source: Geometry, accel: TwoLevelAccel,
     packed = _pack_table(table)
     t, slot, inst = _query2_closest(
         packed, accel.blas.tri, accel.pair_aabb, accel.pair_chunk,
-        accel.pair_code, accel.w2o_rows, accel.num_pairs)
+        accel.pair_code, accel.tw_rows, accel.num_pairs)
     if sort:
         inv = jnp.zeros((n,), jnp.int32).at[order].set(
             jnp.arange(n, dtype=jnp.int32))
@@ -674,7 +713,7 @@ def occluded_two_level(source: Geometry, accel: TwoLevelAccel,
     packed = _pack_table(table)
     out = _query2_any(
         packed, accel.blas.tri, accel.pair_aabb, accel.pair_chunk,
-        accel.pair_code, accel.w2o_rows, accel.num_pairs)
+        accel.pair_code, accel.tw_rows, accel.num_pairs)
     blocked = out.reshape(-1)[:n] > 0.0
     if sort:
         inv = jnp.zeros((n,), jnp.int32).at[order].set(
