@@ -10,21 +10,25 @@ into instance object space and intersects the shared structure, returning
 alternative to ``SceneBuffers.add_instance``'s world-space bake-out, which
 costs a full vertex+face copy per instance.
 
-TPU-native shape (v2 — the round-3 version looped a full blocked query per
-instance, O(I) sequential sweeps; VERDICT r3 item 4): the TLAS×BLAS product
-is flattened into a table of **(instance, block) pairs**, each carrying the
-world-space AABB of that instance's transformed block.  The flat engine's
-cull → sort machinery then runs UNCHANGED over pair AABBs (pairs are just
-boxes), producing per-tile front-to-back pair visit lists — so cull cost
-and traversal cost scale with pairs *entered*, not instances *existing*.
-The traversal kernel differs from the flat one only per visit: it decodes
-(block, instance) from the visit's pair code, reads the instance's
-world→object matrix from SMEM scalars, transforms the ray tile on the fly
-(~30 VPU ops vs the 128-triangle MT test's ~5k), and MT-tests the shared
-block.  Affine transforms preserve t (directions are not re-normalized in
-object space), so world-space entry distances, early exit, and the
-returned t are exact — the same invariant ``intersector_2level.cpp``
-relies on.
+TPU-native shape (v3; the round-3 version looped a full blocked query per
+instance, O(I) sequential sweeps — VERDICT r3 item 4; the round-5 v2
+transformed the ray tile into object space per visit, forcing GROUP=1
+DMAs): the TLAS×BLAS product is flattened into a table of **(instance,
+block) pairs**, each carrying the world-space AABB of that instance's
+transformed block.  The flat engine's cull → sort machinery then runs
+UNCHANGED over pair AABBs (pairs are just boxes), producing per-tile
+front-to-back pair visit lists — so cull cost and traversal cost scale
+with pairs *entered*, not instances *existing*.  The traversal kernel
+differs from the flat one only per visit: it decodes (block, instance)
+from the visit's pair code, reads the instance's to_world rows from SMEM
+scalars, transforms the DMA'd block's p0/e1/e2 TRIANGLE rows to world
+space (affine and linear in the stored rows, ~8k flops next to the
+~1.3M-flop MT test), and batches GROUP such blocks — from different
+instances — into one dense (GROUP*BLOCK, T) MT against the untransformed
+world rays, the flat kernel's exact shape.  Everything stays in world
+space, so entry distances, early exit, and the returned t are trivially
+exact (``intersector_2level.cpp`` instead relies on the affine-t
+invariant of unnormalized object-space rays).
 
 Integration contract (mirrors the reference): the query returns the
 instance's SHAPE id; shading resolves per-shape transforms/materials from
